@@ -1,0 +1,254 @@
+"""Layered YAML config system with ``parent:`` inheritance.
+
+Mirrors the reference semantics (`utils/config_utils.py:20-33`,
+`arguments/__init__.py:110-210`): a child config names its parent and child
+keys override parent keys; the merged namespace is then filtered into
+per-subsystem parameter groups so each component only sees its own knobs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field, fields
+from typing import Any, List, Optional
+
+import yaml
+
+
+def read_config(config_path: str) -> dict:
+    """Load a YAML config, walking the ``parent:`` chain (child overrides)."""
+    with open(config_path, "r") as f:
+        cfg = yaml.safe_load(f) or {}
+    seen = {os.path.abspath(config_path)}
+    while cfg.get("parent") not in (None, "None") and os.path.exists(cfg["parent"]):
+        parent_path = cfg["parent"]
+        if os.path.abspath(parent_path) in seen:
+            break
+        seen.add(os.path.abspath(parent_path))
+        with open(parent_path, "r") as f:
+            parent = yaml.safe_load(f) or {}
+        grandparent = parent.get("parent")
+        parent.update(cfg)
+        cfg = parent
+        cfg["parent"] = grandparent
+    return cfg
+
+
+def _extract(cls, cfg: dict):
+    names = {f.name for f in fields(cls)}
+    kwargs = {k: v for k, v in cfg.items() if k in names}
+    return cls(**kwargs)
+
+
+@dataclass
+class DatasetParams:
+    """Dataset layer knobs (ref `arguments/__init__.py:141-170`)."""
+
+    type: str = "Replica"
+    source_path: str = ""
+    json_path: str = ""           # object-detection JSON (bbox + ellipse per frame)
+    save_path: str = "output/run"
+    frame_start: int = 0
+    frame_step: int = 0
+    frame_num: int = -1
+    eval: bool = False
+    eval_llff: int = 8
+    resolution: int = 1
+    resolution_scales: List[float] = field(default_factory=lambda: [1.0])
+    preload: bool = False
+    use_semantics: bool = False
+    use_object: bool = False
+    crop_edge: int = 0
+
+
+@dataclass
+class MapParams:
+    """Gaussian map + renderer knobs (ref `arguments/__init__.py:173-210`,
+    `configs/base.yaml`)."""
+
+    save_path: str = "output/run"
+    save_step: int = 2000
+    mode: str = "single process"
+    type: str = "Replica"
+    verbose: bool = False
+    use_tensorboard: bool = False
+
+    # gaussian params
+    active_sh_degree: int = 3
+    max_sh_degree: int = 3
+    xyz_factor: List[float] = field(default_factory=lambda: [1.0, 1.0, 0.1])
+    init_opacity: float = 0.99
+    scale_factor: float = 1.0
+    max_radius: float = 0.05
+    min_radius: float = 0.001
+
+    # capacity (TPU-specific: fixed-shape arrays; grow-by-doubling on overflow)
+    capacity: int = 1 << 19
+    add_capacity: int = 1 << 16      # max gaussians added per frame
+
+    # map preprocess
+    min_depth: float = 0.3
+    max_depth: float = 5.0
+    depth_filter: bool = False
+    invalid_confidence_thresh: float = 0.2
+
+    # map management
+    memory_length: int = 5
+    uniform_sample_num: int = 40800
+    add_transmission_thres: float = 0.5
+    transmission_sample_ratio: float = 1.0
+    error_sample_ratio: float = 0.05
+    add_depth_thres: float = 0.1
+    add_color_thres: float = 0.1
+    add_normal_thres: float = 1000.0
+    history_merge_max_weight: float = 0.5
+    stable_confidence_thres: float = 100.0
+    unstable_time_window: int = 120
+    KNN_num: int = 15
+    KNN_threshold: float = -1.0
+
+    # keyframes
+    keyframe_trans_thes: float = 0.3
+    keyframe_theta_thes: float = 30.0
+    global_keyframe_num: int = 3
+
+    # renderer
+    renderer_opaque_threshold: float = 0.6
+    renderer_normal_threshold: float = 60.0   # degrees
+    renderer_depth_threshold: float = 1.0
+    color_sigma: float = 3.0
+    T_threshold: float = 0.0001
+    tile_size: int = 16
+    max_tiles_per_gaussian: int = 16          # binning duplication cap (TPU)
+    rebin_every: int = 1                      # re-sort cadence inside optimize loops
+
+    # optimize cadence
+    gaussian_update_iter: int = 50
+    gaussian_update_frame: int = 6
+    final_global_iter: int = 20
+    feature_lr_coef: float = 1.0
+    scaling_lr_coef: float = 1.0
+    rotation_lr_coef: float = 1.0
+    semantic_lr_coef: float = 1.0
+    object_lf_coef: float = 1.0
+
+    # eval
+    renderer_opaque_threshold_eval: float = 0.5
+    pcd_densify: bool = False
+
+
+@dataclass
+class OptimizationParams:
+    """Loss weights + learning rates (ref `arguments/__init__.py:89-108`)."""
+
+    position_lr: float = 0.001
+    feature_lr: float = 0.0005
+    opacity_lr: float = 0.0
+    scaling_lr: float = 0.004
+    rotation_lr: float = 0.001
+    semantic_lr: float = 0.0005
+
+    color_weight: float = 0.8
+    depth_weight: float = 1.0
+    ssim_weight: float = 0.2
+    normal_weight: float = 0.0
+    semantic_color_weight: float = 0.1
+    object_weight: float = 0.1
+    instance_weight: float = 0.8
+
+    use_semantics: bool = False
+    use_object: bool = False
+    use_instance: bool = False
+
+
+@dataclass
+class TrackingParams:
+    """ICP / pose-backend knobs (ref `configs/base.yaml:91-112`)."""
+
+    use_gt_pose: bool = False
+    icp_use_model_depth: bool = True
+    icp_downscales: List[float] = field(default_factory=lambda: [0.25, 0.5, 1.0])
+    icp_downscale_iters: List[int] = field(default_factory=lambda: [5, 5, 5])
+    icp_damping: float = 1e-4
+    icp_distance_threshold: float = 0.1
+    icp_normal_threshold: float = 20.0
+    icp_sample_distance_threshold: float = 0.01
+    icp_sample_normal_threshold: float = 0.01
+    icp_warmup_frames: int = 0
+    icp_fail_threshold: float = 0.02
+    min_depth: float = 0.3
+    max_depth: float = 5.0
+    depth_filter: bool = False
+    invalid_confidence_thresh: float = 0.2
+    use_orb_backend: bool = False
+    orb_vocab_path: str = ""
+    orb_settings_path: str = ""
+    orb_useicp: bool = True
+    tracker_max_fps: int = 30
+    mode: str = "single process"
+    verbose: bool = False
+    use_gt_pose_first: bool = False
+
+
+@dataclass
+class SystemParams:
+    """Pipeline / sync knobs for the overlapped tracker-mapper mode
+    (ref `SLAM/multiprocess/system.py:19-44`)."""
+
+    mode: str = "single process"
+    sync_tracker2mapper_method: str = "strict"   # strict | loose | free
+    sync_tracker2mapper_frames: int = 5
+    system_verbose: bool = False
+    record_mem: bool = False
+    use_gui: bool = False
+
+
+@dataclass
+class Config:
+    """Full merged config: raw dict plus typed parameter groups."""
+
+    raw: dict
+    dataset: DatasetParams
+    map: MapParams
+    opt: OptimizationParams
+    tracking: TrackingParams
+    system: SystemParams
+
+    @staticmethod
+    def from_yaml(path: str) -> "Config":
+        raw = read_config(path)
+        return Config.from_dict(raw)
+
+    @staticmethod
+    def from_dict(raw: dict) -> "Config":
+        return Config(
+            raw=raw,
+            dataset=_extract(DatasetParams, raw),
+            map=_extract(MapParams, raw),
+            opt=_extract(OptimizationParams, raw),
+            tracking=_extract(TrackingParams, raw),
+            system=_extract(SystemParams, raw),
+        )
+
+    def get(self, key: str, default: Any = None) -> Any:
+        return self.raw.get(key, default)
+
+    def dump(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            yaml.safe_dump(self.raw, f)
+
+
+def default_config(**overrides) -> Config:
+    """A Config built from defaults, with flat-key overrides (used by tests)."""
+    raw = {}
+    for cls in (DatasetParams, MapParams, OptimizationParams, TrackingParams, SystemParams):
+        for f in fields(cls):
+            if f.name not in raw:
+                v = f.default
+                if v is dataclasses.MISSING:
+                    v = f.default_factory()  # type: ignore[misc]
+                raw[f.name] = v
+    raw.update(overrides)
+    return Config.from_dict(raw)

@@ -1,0 +1,186 @@
+"""Public differentiable rasterizer.
+
+API equivalent of `diff_gaussian_rasterization_depth.GaussianRasterizer` +
+`SLAM/render.py:134-272`, returning the same map set: color, depth, normal,
+color/depth index maps, hit weights, transmittance, n_touched.
+
+Composition (all jittable):
+  1. `projection.preprocess`  — differentiable EWA projection (XLA)
+  2. `binning.bin_gaussians`  — sort-based tile binning (XLA, stop-grad)
+  3. blend                    — Pallas TPU kernel (fast path) or pure-JAX
+                                reference; color/alpha gradients via the
+                                blend, depth/normal gradients via an XLA
+                                recompute from the integer hit-index maps.
+
+The depth recompute mirrors the CUDA backward exactly
+(`backward.cu:997-1065`): the hit index and the plane-vs-opaque branch are
+stop-gradient; the plane intersection is differentiable w.r.t. means3D and
+quaternion, the opaque depth w.r.t. means3D only.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.math3d import quat_to_rotmat_unnormalized
+from . import binning as binning_mod
+from .blend import BlendParams, blend_tiles_ref, gather_entry_feats
+from .projection import Preprocessed, min_scale_axis, pixel_rays, preprocess
+
+
+class RenderSettings(NamedTuple):
+    width: int
+    height: int
+    opaque_threshold: float = 0.6
+    depth_threshold: float = 1.0
+    normal_threshold_cos: float = 0.5       # cos(60 deg)
+    color_sigma: float = 3.0
+    T_threshold: float = 1e-4
+    tile_size: int = 16
+    max_tiles_per_gaussian: int = 16
+    sh_degree: int = 3
+    scale_modifier: float = 1.0
+    bg: tuple = (0.0, 0.0, 0.0)
+    impl: str = "auto"                      # auto | ref | pallas
+
+    @staticmethod
+    def from_args(width, height, args) -> "RenderSettings":
+        return RenderSettings(
+            width=width, height=height,
+            opaque_threshold=args.renderer_opaque_threshold,
+            depth_threshold=args.renderer_depth_threshold,
+            normal_threshold_cos=float(math.cos(math.radians(args.renderer_normal_threshold))),
+            color_sigma=args.color_sigma,
+            T_threshold=args.T_threshold,
+            tile_size=args.tile_size,
+            max_tiles_per_gaussian=args.max_tiles_per_gaussian,
+            sh_degree=args.active_sh_degree,
+        )
+
+
+def _resolve_impl(impl: str) -> str:
+    if impl != "auto":
+        return impl
+    return "pallas" if jax.default_backend() == "tpu" else "ref"
+
+
+def _recompute_depth(depth_index_map, means3d, rots, scales, w2c, ray,
+                     settings: RenderSettings):
+    """Differentiable depth from the (stop-grad) hit index map."""
+    hit = depth_index_map >= 0
+    g = jnp.clip(depth_index_map, 0)
+    m = means3d[g]                                            # (H,W,3)
+    mean_c = m @ w2c[:3, :3].T + w2c[:3, 3]
+    # per-pixel normal: R(q) column of min scale, rotated into camera frame
+    q = rots[g]
+    R = quat_to_rotmat_unnormalized(q)
+    axis_idx = jax.lax.stop_gradient(jnp.argmin(scales[g], axis=-1))
+    n_w = jnp.take_along_axis(R, axis_idx[..., None, None], axis=-1)[..., 0]
+    n_c = n_w @ w2c[:3, :3].T
+    ndm = jnp.sum(n_c * mean_c, axis=-1)
+    ndr = jnp.sum(n_c * ray, axis=-1)
+    t = ndm / (ndr + 1e-8)
+    hit_z = t * ray[..., 2]
+    smax = jax.lax.stop_gradient(jnp.max(scales[g], axis=-1)) * settings.scale_modifier
+    plane_ok = jax.lax.stop_gradient(
+        (jnp.abs(hit_z - mean_c[..., 2]) <= smax * settings.depth_threshold)
+        & (jnp.abs(ndr) >= settings.normal_threshold_cos)
+    )
+    d = jnp.where(plane_ok, hit_z, mean_c[..., 2])
+    return jnp.where(hit, d, 0.0)
+
+
+@partial(jax.jit, static_argnames=("settings", "with_normal"))
+def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
+              opacities: jnp.ndarray, colors: jnp.ndarray, cam: dict,
+              settings: RenderSettings,
+              tile_mask: Optional[jnp.ndarray] = None,
+              normal_w: Optional[jnp.ndarray] = None,
+              valid_mask: Optional[jnp.ndarray] = None,
+              with_normal: bool = True) -> dict:
+    """Render a view.
+
+    means3d (P,3); scales (P,3) ACTIVATED (exp applied); rots (P,4) normalized
+    wxyz; opacities (P,) activated; colors (P,3) precomputed RGB (evaluate SH
+    with `eval_colors` first when using SH); normal_w (P,3) world normals for
+    the normal map scatter; valid_mask (P,) excludes dead slots.
+    Returns dict of (H,W[,C]) maps + per-gaussian n_touched (P,).
+    """
+    H, W = settings.height, settings.width
+    pre = preprocess(means3d, scales, rots, cam, settings.color_sigma, W, H,
+                     settings.scale_modifier)
+    if valid_mask is not None:
+        pre = pre._replace(valid=pre.valid & valid_mask,
+                           radius=jnp.where(valid_mask, pre.radius, 0.0))
+
+    b = binning_mod.bin_gaussians(
+        pre, W, H, settings.tile_size, settings.max_tiles_per_gaussian, tile_mask
+    )
+    TH, TW = binning_mod.tile_grid_size(W, H, settings.tile_size)
+    num_tiles = TH * TW
+    entry_valid = b.entry_tile < num_tiles
+
+    params = BlendParams(
+        opaque_threshold=settings.opaque_threshold,
+        depth_threshold=settings.depth_threshold,
+        normal_threshold=settings.normal_threshold_cos,
+        T_threshold=settings.T_threshold,
+    )
+    bg = jnp.asarray(settings.bg, jnp.float32)
+
+    impl = _resolve_impl(settings.impl)
+    if impl == "pallas":
+        from .blend_pallas import blend_tiles_pallas
+        out = blend_tiles_pallas(
+            pre, b, entry_valid, colors, opacities, num_tiles,
+            settings.tile_size, W, H, cam["K"], params, bg,
+        )
+    else:
+        feats = gather_entry_feats(
+            b.point_list, entry_valid, pre.xy, pre.conic, opacities, colors,
+            pre.depth, pre.mean_c, pre.normal_c, pre.scale_max,
+        )
+        out = blend_tiles_ref(
+            feats, b.entry_tile, num_tiles, settings.tile_size, W, H,
+            cam["K"], params, bg,
+        )
+
+    # n_touched per gaussian (segment sum over entries)
+    P = means3d.shape[0]
+    n_touched = jnp.zeros((P,), jnp.int32).at[b.point_list].add(
+        jnp.where(entry_valid, out.pop("n_touched_entries"), 0).astype(jnp.int32)
+    )
+    out["n_touched"] = n_touched
+
+    # differentiable depth from the hit index map
+    ray = pixel_rays(H, W, cam["K"])
+    out["depth"] = _recompute_depth(
+        jax.lax.stop_gradient(out["depth_index_map"]), means3d, rots, scales,
+        cam["w2c"], ray, settings,
+    )
+
+    # normal map scatter (ref `SLAM/render.py:211-214`)
+    if with_normal and normal_w is not None:
+        idx = jax.lax.stop_gradient(out["depth_index_map"])
+        nm = normal_w[jnp.clip(idx, 0)]
+        out["normal"] = jnp.where((idx >= 0)[..., None], nm, 0.0)
+    else:
+        out["normal"] = jnp.zeros((H, W, 3), jnp.float32)
+
+    out["dropped_entries"] = b.dropped
+    out["num_entries"] = b.num_entries
+    return out
+
+
+def eval_colors(sh: jnp.ndarray, means3d: jnp.ndarray, cam_pos: jnp.ndarray,
+                sh_degree: int) -> jnp.ndarray:
+    """SH -> view-dependent RGB (ref `computeColorFromSH`)."""
+    from ..utils.sh import eval_sh
+    dirs = means3d - cam_pos[None, :]
+    dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+    return eval_sh(sh_degree, sh, dirs)

@@ -1,0 +1,113 @@
+"""Unit tests for math3d / sh / image / losses utilities."""
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from dqo_map_tpu.utils import image, losses, math3d, sh
+
+
+def test_quat_roundtrip(rng):
+    q = rng.normal(size=(32, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    R = np.asarray(math3d.quat_to_rotmat(jnp.asarray(q)))
+    # scipy uses xyzw
+    R_ref = Rotation.from_quat(q[:, [1, 2, 3, 0]]).as_matrix()
+    np.testing.assert_allclose(R, R_ref, atol=1e-6)
+    q2 = np.asarray(math3d.rotmat_to_quat(jnp.asarray(R)))
+    sign = np.sign(np.sum(q2 * q, axis=1, keepdims=True))
+    np.testing.assert_allclose(q2 * sign, q, atol=1e-5)
+
+
+def test_exp_se3_matches_scipy(rng):
+    xi = rng.normal(size=6) * 0.3
+    T = np.asarray(math3d.exp_se3(jnp.asarray(xi, jnp.float32)))
+    R_ref = Rotation.from_rotvec(xi[:3]).as_matrix()
+    np.testing.assert_allclose(T[:3, :3], R_ref, atol=1e-4)
+    # tiny rotation limit
+    T0 = np.asarray(math3d.exp_se3(jnp.asarray([0, 0, 0, 1.0, 2.0, 3.0], jnp.float32)))
+    np.testing.assert_allclose(T0[:3, 3], [1, 2, 3], atol=1e-6)
+    np.testing.assert_allclose(T0[:3, :3], np.eye(3), atol=1e-6)
+
+
+def test_slerp_endpoints(rng):
+    a = rng.normal(size=(8, 4))
+    b = rng.normal(size=(8, 4))
+    out0 = np.asarray(math3d.slerp(jnp.asarray(a), jnp.asarray(b), jnp.zeros((8, 1))))
+    out1 = np.asarray(math3d.slerp(jnp.asarray(a), jnp.asarray(b), jnp.ones((8, 1))))
+    np.testing.assert_allclose(out0, a, atol=1e-4)
+    np.testing.assert_allclose(out1, b, atol=1e-4)
+
+
+def test_eval_ate_zero():
+    t = np.random.default_rng(0).normal(size=(50, 3))
+    assert math3d.eval_ate(t, t) < 1e-9
+    # rigid transform => still ~0 after alignment
+    R = Rotation.from_rotvec([0.1, 0.2, 0.3]).as_matrix()
+    assert math3d.eval_ate(t @ R.T + 1.5, t) < 1e-6
+
+
+def test_sh_dc_roundtrip(rng):
+    rgb = rng.uniform(0, 1, (16, 3))
+    coeffs = np.zeros((16, 16, 3))
+    coeffs[:, 0] = np.asarray(sh.rgb_to_sh(jnp.asarray(rgb)))
+    dirs = rng.normal(size=(16, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    out = np.asarray(sh.eval_sh(3, jnp.asarray(coeffs), jnp.asarray(dirs)))
+    np.testing.assert_allclose(out, rgb, atol=1e-6)
+
+
+def test_vertex_and_normal_map():
+    K = jnp.asarray([[50.0, 0, 16], [0, 50.0, 12], [0, 0, 1]])
+    depth = jnp.ones((24, 32)) * 2.0
+    v = image.compute_vertex_map(depth, K)
+    assert v.shape == (24, 32, 3)
+    np.testing.assert_allclose(np.asarray(v[12, 16]), [0, 0, 2.0], atol=1e-5)
+    # flat plane at z=2 -> normals +/- z
+    n = np.asarray(image.compute_normal_map(v))
+    interior = n[2:-2, 2:-2]
+    nz = np.abs(interior[..., 2])
+    valid = np.linalg.norm(interior, axis=-1) > 0.5
+    assert (nz[valid] > 0.99).all()
+
+
+def test_confidence_map_center_is_one():
+    K = jnp.asarray([[50.0, 0, 16], [0, 50.0, 12], [0, 0, 1]])
+    n = jnp.zeros((24, 32, 3)).at[..., 2].set(1.0)
+    c = np.asarray(image.compute_confidence_map(n, K))
+    assert abs(c[12, 16, 0] - 1.0) < 1e-5
+
+
+def test_pyramids():
+    depth = jnp.asarray(np.random.default_rng(0).uniform(1, 3, (32, 48)))
+    pyr = image.build_depth_pyramid(depth, 3)
+    assert pyr[0].shape == (8, 12) and pyr[1].shape == (16, 24) and pyr[2].shape == (32, 48)
+    # max pooling
+    assert float(pyr[0].max()) <= float(depth.max()) + 1e-6
+
+
+def test_tile_masks():
+    m = jnp.zeros((32, 32), bool).at[:16, :16].set(True)
+    tm = np.asarray(image.transmission_to_tilemask(m, 16, 0.5))
+    assert tm[0, 0] == 1 and tm[1, 1] == 0
+    err = jnp.zeros((32, 32)).at[16:, 16:].set(1.0)
+    cm = np.asarray(image.colorerror_to_tilemask(err, 16, 0.25))
+    assert cm[1, 1] == 1 and cm.sum() == 1
+
+
+def test_ssim_identity(rng):
+    img = jnp.asarray(rng.uniform(0, 1, (3, 32, 32)), jnp.float32)
+    assert float(losses.ssim(img, img)) > 0.9999
+    noisy = img + 0.2 * jnp.asarray(rng.normal(size=(3, 32, 32)), jnp.float32)
+    assert float(losses.ssim(img, noisy)) < 0.95
+
+
+def test_sample_pixels(rng):
+    import jax
+    mask = jnp.zeros((16, 16), bool).at[:8].set(True)
+    idx, valid = image.sample_pixels(jax.random.key(0), mask, 64, jnp.int32(50))
+    assert valid.sum() == 50
+    assert bool(mask.reshape(-1)[idx[valid]].all())
+    # requesting more than available masked pixels caps at available
+    idx2, valid2 = image.sample_pixels(jax.random.key(1), mask, 200, jnp.int32(200))
+    assert valid2.sum() == 128
