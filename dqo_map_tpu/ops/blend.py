@@ -84,7 +84,11 @@ def blend_chunk(state: PixelState, feats: dict, pix_xy: jnp.ndarray,
     cc = feats["conic"][:, 2:3]
     power = -0.5 * (cx * dx * dx + cc * dy * dy) - cb * dx * dy
     G = jnp.exp(power)
-    alpha_raw = jnp.minimum(ALPHA_MAX, feats["opacity"][:, None] * G)
+    og = feats["opacity"][:, None] * G
+    # straight-through 0.99 clamp: the CUDA backward ignores the clamp's
+    # gradient gate (backward.cu:948,985-996), so we mirror that here to keep
+    # ref-path autodiff identical to the Pallas custom VJP.
+    alpha_raw = og + jax.lax.stop_gradient(jnp.minimum(ALPHA_MAX, og) - og)
     skip = (power > 0.0) | (alpha_raw < ALPHA_MIN) | (~feats["valid"][:, None])
     alpha = jnp.where(skip, 0.0, alpha_raw)
 
@@ -95,7 +99,8 @@ def blend_chunk(state: PixelState, feats: dict, pix_xy: jnp.ndarray,
     contrib = (~skip) & (test_T >= params.T_threshold)
     w = jnp.where(contrib, alpha * T_prev, 0.0)                 # (K,n)
 
-    color = state.color + jnp.einsum("kn,kc->nc", w, feats["color"])
+    color = state.color + jnp.einsum("kn,kc->nc", w, feats["color"],
+                                     precision=jax.lax.Precision.HIGHEST)
     weight_sum = state.weight_sum + w.sum(axis=0)
 
     # max-color-weight contributor (strict >, so earliest max wins)

@@ -32,7 +32,8 @@ def build_cov3d(scales: jnp.ndarray, rots: jnp.ndarray, scale_modifier: float = 
     R = quat_to_rotmat_unnormalized(rots)
     s = scales * scale_modifier
     M = R * s[..., None, :]          # R @ diag(s)
-    return M @ jnp.swapaxes(M, -1, -2)
+    return jnp.matmul(M, jnp.swapaxes(M, -1, -2),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def min_scale_axis(scales: jnp.ndarray, rots: jnp.ndarray) -> jnp.ndarray:
@@ -66,8 +67,11 @@ def project_cov2d(mean_c: jnp.ndarray, cov3d: jnp.ndarray, w2c: jnp.ndarray,
         axis=-2,
     )  # (P,2,3)
     W = w2c[:3, :3]  # (3,3)
-    T = J @ W  # (P,2,3)
-    cov = T @ cov3d @ jnp.swapaxes(T, -1, -2)  # (P,2,2)
+    T = jnp.matmul(J, W, precision=jax.lax.Precision.HIGHEST)  # (P,2,3)
+    cov = jnp.matmul(
+        jnp.matmul(T, cov3d, precision=jax.lax.Precision.HIGHEST),
+        jnp.swapaxes(T, -1, -2), precision=jax.lax.Precision.HIGHEST,
+    )  # (P,2,2)
     a = cov[:, 0, 0] + 0.3
     b = cov[:, 0, 1]
     c = cov[:, 1, 1] + 0.3
@@ -86,9 +90,10 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
     K = cam["K"]
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
 
-    mean_c = means3d @ w2c[:3, :3].T + w2c[:3, 3]
-    p_hom = means3d @ full_proj[:3, :3].T + full_proj[:3, 3]
-    p_w4 = means3d @ full_proj[3, :3].T + full_proj[3, 3]
+    hi = jax.lax.Precision.HIGHEST
+    mean_c = jnp.matmul(means3d, w2c[:3, :3].T, precision=hi) + w2c[:3, 3]
+    p_hom = jnp.matmul(means3d, full_proj[:3, :3].T, precision=hi) + full_proj[:3, 3]
+    p_w4 = jnp.matmul(means3d, full_proj[3, :3].T, precision=hi) + full_proj[3, 3]
     p_w = 1.0 / (p_w4 + 1e-7)
     p_proj = p_hom * p_w[:, None]
 
@@ -114,7 +119,8 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
         [p_proj[:, 0] * width * 0.5 + cx, p_proj[:, 1] * height * 0.5 + cy], axis=-1
     )
 
-    normal_c = min_scale_axis(scales, rots) @ w2c[:3, :3].T
+    normal_c = jnp.matmul(min_scale_axis(scales, rots), w2c[:3, :3].T,
+                          precision=jax.lax.Precision.HIGHEST)
     scale_max = jnp.max(scales, axis=-1) * scale_modifier
 
     valid = in_frustum & det_ok

@@ -138,7 +138,7 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
         from .blend_pallas import blend_tiles_pallas
         out = blend_tiles_pallas(
             pre, b, entry_valid, colors, opacities, num_tiles,
-            settings.tile_size, W, H, cam["K"], params, bg,
+            settings.tile_size, W, H, cam["K"], params, settings.bg,
         )
     else:
         feats = gather_entry_feats(

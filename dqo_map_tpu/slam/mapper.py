@@ -1,0 +1,717 @@
+"""Gaussian map lifecycle: add / optimize / promote / prune.
+
+Equivalent of `SLAM/multiprocess/mapper.py::Mapping`, re-designed around jit:
+the whole local/global Adam loop is ONE compiled `lax.scan` (render + loss +
+masked Adam step per iteration), densification is a single compiled pipeline
+(sample -> KNN filter -> attach -> KNN scale init -> scatter-add), and
+promote/demote/delete are status-mask updates on the fixed-capacity
+`MapState`. Host code only sequences frames and keyframes.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models import gaussian_map as gm
+from ..models.cameras import Camera
+from ..models.gaussian_map import MapState
+from ..ops.error_accum import accumulate_gaussian_error
+from ..ops.knn import knn, update_geometry_scales
+from ..ops.rasterize import RenderSettings
+from ..utils import image as im
+from ..utils.losses import ssim as ssim_fn
+from ..utils.math3d import rot_compare, slerp, trans_compare
+from .renderer import Renderer, render_state
+
+OPT_FIELDS = ("xyz", "sh", "scaling", "rotation", "opacity")
+
+
+class AdamState(NamedTuple):
+    m: dict
+    v: dict
+    step: jnp.ndarray
+
+
+def adam_init(params: dict) -> AdamState:
+    z = {k: jnp.zeros_like(v) for k, v in params.items()}
+    return AdamState(m=z, v={k: jnp.zeros_like(v) for k, v in params.items()},
+                     step=jnp.int32(0))
+
+
+def adam_update(params: dict, grads: dict, st: AdamState, lrs: dict,
+                mask: jnp.ndarray, b1=0.9, b2=0.999, eps=1e-15):
+    """torch.optim.Adam semantics with per-group lrs and a row mask."""
+    step = st.step + 1
+    bc1 = 1 - b1 ** step.astype(jnp.float32)
+    bc2 = 1 - b2 ** step.astype(jnp.float32)
+    new_p, new_m, new_v = {}, {}, {}
+    for k in params:
+        g = grads[k]
+        mk = mask
+        while mk.ndim < g.ndim:
+            mk = mk[..., None]
+        g = jnp.where(mk, g, 0.0)
+        m = b1 * st.m[k] + (1 - b1) * g
+        v = b2 * st.v[k] + (1 - b2) * g * g
+        upd = lrs[k] * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+        new_p[k] = params[k] - jnp.where(mk, upd, 0.0)
+        new_m[k] = m
+        new_v[k] = v
+    return new_p, AdamState(m=new_m, v=new_v, step=step)
+
+
+def get_params(state: MapState) -> dict:
+    return {k: getattr(state, k) for k in OPT_FIELDS}
+
+
+def set_params(state: MapState, p: dict) -> MapState:
+    return state._replace(**p)
+
+
+# ---------------------------------------------------------------------------
+# loss (ref `Mapping.loss_update`, mapper.py:799-928)
+# ---------------------------------------------------------------------------
+
+def masked_mean(x, mask):
+    m = mask.astype(x.dtype)
+    while m.ndim < x.ndim:
+        m = m[..., None]
+    denom = jnp.maximum(m.sum() * (x.size / mask.size), 1.0)
+    return (x * m).sum() / denom
+
+
+def compute_loss(render_out: dict, image_input: dict, params: dict,
+                 init_stat: dict, opt_mask: jnp.ndarray, weights: dict,
+                 add_depth_thres: float, use_ssim: bool):
+    render_mask = image_input["render_mask"]
+    image = render_out["render"]
+    depth = render_out["depth"]
+    normal = render_out["normal"]
+    depth_index = render_out["depth_index_map"]
+
+    color_loss = masked_mean(jnp.abs(image - image_input["color_map"]),
+                             render_mask)
+    depth_error = depth - image_input["depth_map"]
+    valid_depth = (
+        (depth_index != -1)
+        & (image_input["depth_map"] > 0)
+        & (depth_error < add_depth_thres)
+        & render_mask
+    )
+    depth_loss = masked_mean(jnp.abs(depth_error), valid_depth)
+
+    cos_dist = 1.0 - jnp.sum(normal * image_input["normal_map"], axis=-1) / (
+        jnp.linalg.norm(normal, axis=-1)
+        * jnp.linalg.norm(image_input["normal_map"], axis=-1) + 1e-8
+    )
+    valid_normal = (
+        render_mask & (depth_index != -1)
+        & (~jnp.all(image_input["normal_map"] == 0, axis=-1))
+    )
+    normal_loss = masked_mean(cos_dist, valid_normal)
+
+    ssim_loss = 0.0
+    if use_ssim:
+        ssim_loss = 1.0 - ssim_fn(
+            jnp.transpose(image, (2, 0, 1)),
+            jnp.transpose(image_input["color_map"], (2, 0, 1)),
+        )
+
+    total = (
+        weights["depth"] * depth_loss
+        + weights["normal"] * normal_loss
+        + weights["color"] * color_loss
+        + weights["ssim"] * ssim_loss
+    )
+
+    # attach anchor (ref mapper.py:812-829): low-init-opacity gaussians are
+    # pinned to their init geometry with a 1000x L2
+    init_op = jax.nn.sigmoid(init_stat["opacity"])
+    attach_mask = (init_op < 0.9) & opt_mask
+    attach = 1000.0 * (
+        masked_mean((params["scaling"] - init_stat["scaling"]) ** 2, attach_mask)
+        + masked_mean((params["xyz"] - init_stat["xyz"]) ** 2, attach_mask)
+        + masked_mean((params["rotation"] - init_stat["rotation"]) ** 2,
+                      attach_mask)
+    )
+    report = {
+        "total_loss": total, "color_loss": color_loss,
+        "depth_loss": depth_loss, "normal_loss": normal_loss,
+        "ssim_loss": ssim_loss, "scale_loss": attach,
+    }
+    return total + attach, report
+
+
+# ---------------------------------------------------------------------------
+# the jitted optimize scan (local + global share this)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("settings", "iters", "status_value",
+                                   "use_ssim", "with_tile_mask", "subset"))
+def optimize_scan(state: MapState, frames: dict, rand_idx: jnp.ndarray,
+                  lrs: dict, weights: dict, settings: RenderSettings,
+                  iters: int, status_value: int, add_depth_thres: float,
+                  use_ssim: bool = False, with_tile_mask: bool = True,
+                  subset: str = "global"):
+    """Run `iters` Adam steps over the gaussians with status==status_value.
+
+    frames: stacked dict — color (F,H,W,3), depth (F,H,W), normal (F,H,W,3),
+    render_mask (F,H,W), tile_mask (F,TH,TW), w2c (F,4,4), full_proj (F,4,4),
+    cam_pos (F,3), K (3,3), tan_fovx/y ().
+    rand_idx: (iters,) int32 frame choices (host-precomputed, mirroring the
+    reference's random.randint schedule).
+    Returns (state, report dict of (iters,) loss curves).
+    """
+    opt_mask = state.status == status_value
+    params = get_params(state)
+    init_stat = {
+        "opacity": params["opacity"], "scaling": params["scaling"],
+        "xyz": params["xyz"], "rotation": params["rotation"],
+    }
+    opt_state = adam_init(params)
+    confidence0 = state.confidence
+
+    def step(carry, it):
+        params, opt_state, confidence = carry
+        fidx = rand_idx[it]
+        cam = {
+            "w2c": frames["w2c"][fidx],
+            "full_proj": frames["full_proj"][fidx],
+            "cam_pos": frames["cam_pos"][fidx],
+            "K": frames["K"], "tan_fovx": frames["tan_fovx"],
+            "tan_fovy": frames["tan_fovy"],
+        }
+        tile_mask = frames["tile_mask"][fidx] if with_tile_mask else None
+        image_input = {
+            "color_map": frames["color"][fidx],
+            "depth_map": frames["depth"][fidx],
+            "normal_map": frames["normal"][fidx],
+            "render_mask": frames["render_mask"][fidx],
+        }
+
+        def loss_fn(p):
+            st = set_params(state, p)
+            out = render_state(st, cam, settings, subset, tile_mask)
+            return compute_loss(out, image_input, p, init_stat, opt_mask,
+                                weights, add_depth_thres, use_ssim)
+
+        (loss, report), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        params, opt_state = adam_update(params, grads, opt_state, lrs, opt_mask)
+        # confidence update by DC-feature gradient (ref mapper.py:909-910)
+        grad_mask = jnp.any(jnp.abs(grads["sh"][:, 0, :]) != 0, axis=-1)
+        confidence = confidence + (grad_mask & opt_mask).astype(jnp.float32)
+        return (params, opt_state, confidence), report
+
+    (params, opt_state, confidence), reports = jax.lax.scan(
+        step, (params, opt_state, confidence0), jnp.arange(iters)
+    )
+    state = set_params(state, params)._replace(confidence=confidence)
+    return state, reports
+
+
+@jax.jit
+def history_merge(state: MapState, history: dict, confidence_pre: jnp.ndarray,
+                  opt_mask: jnp.ndarray, max_weight: float = 0.5):
+    """Confidence-weighted lerp to pre-optimization values + quaternion slerp
+    (ref `Mapping.history_merge`, mapper.py:607-652).
+
+    Note the reference scalar quirk: xyz uses the per-gaussian weight while
+    features/scaling use the weight of gaussian 0 (`history_weight[0]`,
+    mapper.py:624-636). We use the per-gaussian weight everywhere — the
+    homogeneous-weight behavior is almost surely a bug upstream.
+    """
+    w = jnp.clip(
+        max_weight * confidence_pre / (state.confidence + 1e-6), 0.0, 1.0
+    )[:, None]
+    m = opt_mask[:, None]
+    xyz = jnp.where(m, history["xyz"] * w + (1 - w) * state.xyz, state.xyz)
+    sh = jnp.where(m[..., None],
+                   history["sh"] * w[..., None] + (1 - w[..., None]) * state.sh,
+                   state.sh)
+    scaling = jnp.where(m, history["scaling"] * w + (1 - w) * state.scaling,
+                        state.scaling)
+    rot = slerp(history["rotation_act"], state.get_rotation(), 1 - w)
+    rotation = jnp.where(m, rot, state.rotation)
+    return state._replace(xyz=xyz, sh=sh, scaling=scaling, rotation=rotation)
+
+
+# ---------------------------------------------------------------------------
+# densification (ref mapper.py:1231-1462)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("settings", "max_add", "cfg"))
+def densify_step(state: MapState, frame_map: dict, cam: dict,
+                 model_map: Optional[dict], key, time, frame_id,
+                 settings: RenderSettings, max_add: int, cfg: tuple):
+    """Sample new gaussians, filter against the map, attach to stable
+    surfaces, init scales by KNN, and append. One compiled pipeline.
+
+    cfg: (uniform_sample_num, add_transmission_thres, transmission_sample_ratio,
+          add_depth_thres, add_color_thres, error_sample_ratio, init_opacity,
+          xyz_factor..., scale_factor, min_radius, max_radius, is_first)
+    """
+    (uniform_sample_num, add_transmission_thres, transmission_sample_ratio,
+     add_depth_thres, add_color_thres, error_sample_ratio, init_opacity,
+     xf0, xf1, xf2, scale_factor, min_radius, max_radius, is_first) = cfg
+    H, W = frame_map["depth_map"].shape
+    k1, k2 = jax.random.split(key)
+
+    depth_ok = frame_map["depth_map"] > 0
+    if is_first:
+        mask_a = depth_ok
+        want_a = jnp.int32(uniform_sample_num)
+        mask_b = jnp.zeros_like(depth_ok)
+        want_b = jnp.int32(0)
+    else:
+        # transmission mask: newly revealed surface (ref mapper.py:1249-1290)
+        trans_mask = (model_map["T_map"] > add_transmission_thres) & depth_ok
+        trans_ratio = trans_mask.sum() / (H * W)
+        want_a = (transmission_sample_ratio * trans_ratio
+                  * uniform_sample_num).astype(jnp.int32)
+        mask_a = trans_mask
+        # depth/color error mask (ref mapper.py:1292-1327)
+        depth_err = jnp.abs(frame_map["depth_map"] - model_map["depth"])
+        color_err = jnp.abs(
+            frame_map["color_map"] - model_map["render"]).mean(axis=-1)
+        depth_sample = (
+            (depth_err > add_depth_thres) & depth_ok
+            & (model_map["depth_index_map"] > -1)
+        )
+        color_sample = (
+            (color_err > add_color_thres) & depth_ok
+            & (model_map["T_map"] < add_transmission_thres)
+        )
+        mask_b = (depth_sample | color_sample) & (~trans_mask)
+        want_b = (mask_b.sum() * error_sample_ratio).astype(jnp.int32)
+
+    # normals must be valid (ref SLAM/utils.py:169-170)
+    nvalid = jnp.sum(frame_map["normal_map_w"], axis=-1) != 0
+    half = max_add // 2
+    idx_a, val_a = im.sample_pixels(k1, mask_a & nvalid, half, want_a)
+    idx_b, val_b = im.sample_pixels(k2, mask_b & nvalid, half, want_b)
+    idx = jnp.concatenate([idx_a, idx_b])
+    valid = jnp.concatenate([val_a, val_b])
+
+    vert = frame_map["vertex_map_w"].reshape(-1, 3)[idx]
+    norm = frame_map["normal_map_w"].reshape(-1, 3)[idx]
+    col = frame_map["color_map"].reshape(-1, 3)[idx]
+
+    new = gm.make_new_points(
+        vert, norm, col, valid, time, frame_id, init_opacity, (xf0, xf1, xf2))
+
+    # temp_points_filter (ref mapper.py:1351-1380): drop points already
+    # covered by an unstable gaussian (3-NN within 0.6 x radius)
+    unstable = state.status == gm.UNSTABLE
+    d2, nn_idx = knn(new["xyz"], state.xyz, unstable, k=3)
+    nn_rad = state.get_radius()[nn_idx] * 0.6
+    covered = jnp.any(jnp.sqrt(d2) < nn_rad, axis=-1) & (state.num_unstable() > 0)
+    new["valid"] = new["valid"] & (~covered)
+
+    # temp_points_attach (ref mapper.py:1384-1435): points landing on a
+    # stable surface get low opacity
+    stable_out = render_state(state, cam, settings, "stable")
+    uv_h = im.transform_map(new["xyz"][None], cam["w2c"])[0]
+    uu = uv_h[:, 0] / jnp.where(uv_h[:, 2] == 0, 1e-8, uv_h[:, 2])
+    vv = uv_h[:, 1] / jnp.where(uv_h[:, 2] == 0, 1e-8, uv_h[:, 2])
+    K = cam["K"]
+    px = (uu * K[0, 0] + K[0, 2]).astype(jnp.int32)
+    py = (vv * K[1, 1] + K[1, 2]).astype(jnp.int32)
+    inview = (px >= 0) & (px < W) & (py >= 0) & (py < H)
+    pxc = jnp.clip(px, 0, W - 1)
+    pyc = jnp.clip(py, 0, H - 1)
+    sidx = stable_out["color_index_map"][pyc, pxc]
+    on_stable = inview & (sidx >= 0)
+    sid = jnp.clip(sidx, 0)
+    p2p = jnp.sum(
+        (state.xyz[sid] - new["xyz"]) * state.get_normal()[sid], axis=-1)
+    attach = on_stable & (jnp.abs(p2p) < 0.5 * add_depth_thres) & (
+        state.num_stable() > 0)
+    low_op = gm.inverse_sigmoid(0.1)
+    new["opacity"] = jnp.where(attach, low_op, new["opacity"])
+
+    # update_geometry scale init (ref gaussian_pointcloud.py:519-570):
+    # KNN against new points + existing alive gaussians
+    M = new["xyz"].shape[0]
+    cand_xyz = jnp.concatenate([new["xyz"], state.xyz])
+    cand_rad = jnp.concatenate(
+        [jnp.full((M,), 1e-6), state.get_radius()])
+    cand_valid = jnp.concatenate([new["valid"], state.alive()])
+    log_scales, keep = update_geometry_scales(
+        new["xyz"], new["valid"], cand_xyz, cand_rad, cand_valid,
+        scale_factor, (xf0, xf1, xf2), min_radius, max_radius)
+    new["scaling"] = log_scales
+    new["valid"] = keep
+
+    return gm.add_points(state, new), jnp.sum(new["valid"])
+
+
+# ---------------------------------------------------------------------------
+# pruning / promotion (ref mapper.py:657-730, 989-1102)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def gaussians_fix(state: MapState, stable_confidence_thres: float):
+    return gm.promote_points(
+        state, state.confidence > stable_confidence_thres,
+        stable_confidence_thres)
+
+
+@partial(jax.jit, static_argnames=("unstable",))
+def gaussians_delete(state: MapState, time, unstable_time_window: int,
+                     unstable: bool = True):
+    radius = state.get_radius()
+    pool = state.unstable_mask() if unstable else state.stable_mask()
+    mean_r = masked_mean(radius, pool)
+    big = (radius > mean_r * 10) & pool
+    if unstable:
+        old = ((time - state.add_tick) > unstable_time_window) & pool
+        return gm.delete_points(state, big | old)
+    return gm.delete_points(state, big)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def error_remove_step(state: MapState, frame_map: dict, cam: dict,
+                      settings: RenderSettings, add_color_thres: float,
+                      add_depth_thres: float, add_normal_thres: float,
+                      time):
+    """(ref `error_gaussians_remove`, mapper.py:989-1102)."""
+    out = render_state(state, cam, settings, "global")
+    depth_error = jnp.abs(frame_map["depth_map"] - out["depth"])
+    depth_error = jnp.where(
+        (frame_map["depth_map"] - out["depth"]) < 0, 0.0, depth_error)
+    color_error = jnp.abs(
+        frame_map["color_map"] - out["render"]).sum(axis=-1)
+    normal_error = jnp.zeros_like(depth_error)
+    invalid = (frame_map["depth_map"] == 0) | (out["depth_index_map"] == -1)
+    depth_error = jnp.where(invalid, 0.0, depth_error)
+    color_error = jnp.where(frame_map["depth_map"] == 0, 0.0, color_error)
+
+    P = state.capacity
+    gs_color, gs_depth, _, _ = accumulate_gaussian_error(
+        P, color_error, depth_error, normal_error,
+        out["color_index_map"], out["depth_index_map"],
+        add_color_thres, add_depth_thres, add_normal_thres, True)
+
+    stable = state.stable_mask()
+    depth_bad = (gs_depth > 2 * add_depth_thres) & stable
+    color_bad = (gs_color > 2 * add_color_thres) & stable
+    state = state._replace(
+        depth_err_cnt=state.depth_err_cnt + depth_bad.astype(jnp.int32),
+        color_err_cnt=state.color_err_cnt + color_bad.astype(jnp.int32),
+    )
+    del_mask = (state.depth_err_cnt >= 10) & stable
+    rel_mask = (state.color_err_cnt >= 10) & stable & (~del_mask)
+    state = gm.delete_points(state, del_mask)
+    state = gm.release_points(state, rel_mask, time)
+    # reset counters for slots acted upon so they don't refire immediately
+    state = state._replace(
+        depth_err_cnt=jnp.where(del_mask | rel_mask, 0, state.depth_err_cnt),
+        color_err_cnt=jnp.where(del_mask | rel_mask, 0, state.color_err_cnt),
+    )
+    return state
+
+
+@partial(jax.jit, static_argnames=("settings", "global_opt", "tile_size"))
+def render_range_step(state: MapState, cam: dict, settings: RenderSettings,
+                      global_opt: bool, sample_ratio: float,
+                      gt_color: Optional[jnp.ndarray], tile_size: int = 16):
+    """(ref `evaluate_render_range`, mapper.py:930-988)."""
+    subset = "stable" if global_opt else "unstable"
+    out = render_state(state, cam, settings, subset)
+    T_map = out["T_map"]
+    if global_opt and sample_ratio > 0:
+        image_diff = jnp.abs(out["render"] - gt_color).sum(axis=-1)
+        image_diff = jnp.where(out["render"].sum(axis=-1) == 0, 0.0, image_diff)
+        tile_mask = im.colorerror_to_tilemask(image_diff, tile_size, sample_ratio)
+        render_mask = im.tilemask_to_pixelmask(
+            tile_mask, tile_size, *T_map.shape)
+    else:
+        render_mask = T_map != 1
+        tile_mask = im.transmission_to_tilemask(render_mask, tile_size, 0.5)
+    return render_mask, tile_mask
+
+
+# ---------------------------------------------------------------------------
+# host-side Mapping orchestrator
+# ---------------------------------------------------------------------------
+
+class Mapping:
+    def __init__(self, cfg: Config, width: int, height: int, recorder=None):
+        args = cfg.map
+        self.cfg = cfg
+        self.args = args
+        self.opt = cfg.opt
+        self.width = width
+        self.height = height
+        self.recorder = recorder
+
+        self.state = gm.empty_map(args.capacity)
+        self.renderer = Renderer(args, width, height)
+        self.settings = self.renderer.settings
+        self.time = 0
+        self.iter = 0
+
+        self.memory_length = args.memory_length
+        self.processed_frames: list = []    # [(cam_inputs, frame_map)]
+        self.keyframe_ids: list = []
+        self.keyframes: list = []           # [(Camera, cam_inputs, keymap)]
+        self.optimize_frames_ids: list = []
+
+        self.model_map: Optional[dict] = None
+        self.key = jax.random.key(2024)
+        self.last_reports: dict = {}
+        self.save_path = args.save_path
+
+    # --------------------------------------------------------------
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def _lrs(self, coef_feature=1.0, coef_scaling=1.0, coef_rotation=1.0,
+             lr_scale=1.0, position_lr=None):
+        o = self.opt
+        pos = o.position_lr if position_lr is None else position_lr
+        # sh: DC at feature_lr, rest at feature_lr/20 — approximated with a
+        # per-coefficient scale vector folded into one lr array
+        sh_lr = jnp.full((gm.SH_K, 1), o.feature_lr / 20.0 * coef_feature * lr_scale)
+        sh_lr = sh_lr.at[0].set(o.feature_lr * coef_feature * lr_scale)
+        return {
+            "xyz": pos * lr_scale,
+            "sh": sh_lr[None],          # broadcast (1,K,1) over (N,K,3)
+            "scaling": o.scaling_lr * coef_scaling * lr_scale,
+            "rotation": o.rotation_lr * coef_rotation * lr_scale,
+            "opacity": o.opacity_lr * lr_scale,
+        }
+
+    def _weights(self):
+        o = self.opt
+        return {"color": o.color_weight, "depth": o.depth_weight,
+                "normal": o.normal_weight, "ssim": o.ssim_weight}
+
+    # --------------------------------------------------------------
+    def get_render_output(self, cam_inputs: dict) -> dict:
+        out = render_state(self.state, cam_inputs, self.settings, "global")
+        self.model_map = out
+        return out
+
+    def gaussians_add(self, frame: Camera, frame_map: dict, frame_id: int):
+        cam = frame.render_inputs()
+        model_map = None
+        is_first = self.time == 0
+        if not is_first:
+            model_map = self.get_render_output(cam)
+        cfg = (
+            self.args.uniform_sample_num, self.args.add_transmission_thres,
+            self.args.transmission_sample_ratio, self.args.add_depth_thres,
+            self.args.add_color_thres, self.args.error_sample_ratio,
+            self.args.init_opacity, *[float(x) for x in self.args.xyz_factor],
+            self.args.scale_factor, self.args.min_radius,
+            self.args.max_radius, is_first,
+        )
+        self.state, n_added = densify_step(
+            self.state, frame_map, cam, model_map, self._next_key(),
+            jnp.int32(self.time), jnp.int32(frame_id), self.settings,
+            self.args.add_capacity, cfg,
+        )
+        self._maybe_compact()
+        return int(n_added)
+
+    def _maybe_compact(self):
+        if int(self.state.count) > self.state.capacity * 0.9:
+            self.state = gm.compact(self.state)
+            if int(self.state.count) > self.state.capacity * 0.8:
+                self.state = gm.grow(self.state, self.state.capacity * 2)
+
+    # --------------------------------------------------------------
+    def check_keyframe(self, frame: Camera, frame_map: dict,
+                       frame_id: int) -> bool:
+        """(ref `check_keyframe`, mapper.py:734-773)."""
+        keymap = {
+            "color": np.asarray(frame_map["color_map"]),
+            "depth": np.asarray(frame_map["depth_map"]),
+            "normal": np.asarray(frame_map["normal_map_w"]),
+        }
+        if self.time == 0:
+            self.keyframes.append((frame, frame.render_inputs(), keymap))
+            self.keyframe_ids.append(frame_id)
+            return False
+        prev_frame = self.keyframes[-1][0]
+        _, theta = rot_compare(prev_frame.R.T, frame.R.T)
+        _, l2 = trans_compare(prev_frame.T, frame.T)
+        if theta > self.args.keyframe_theta_thes or l2 > self.args.keyframe_trans_thes:
+            self.keyframes.append((frame, frame.render_inputs(), keymap))
+            self.keyframe_ids.append(frame_id)
+            return True
+        return False
+
+    # --------------------------------------------------------------
+    def _stack_frames(self, entries, tile_size):
+        """entries: list of (cam_inputs, frame_map-like dict with color/depth/
+        normal + render/tile masks)."""
+        TH = (self.height + tile_size - 1) // tile_size
+        TW = (self.width + tile_size - 1) // tile_size
+        frames = {
+            "color": jnp.stack([e["color"] for e in entries]),
+            "depth": jnp.stack([e["depth"] for e in entries]),
+            "normal": jnp.stack([e["normal"] for e in entries]),
+            "render_mask": jnp.stack([e["render_mask"] for e in entries]),
+            "tile_mask": jnp.stack([
+                e["tile_mask"] if e["tile_mask"] is not None
+                else jnp.ones((TH, TW), jnp.int32) for e in entries]),
+            "w2c": jnp.stack([e["cam"]["w2c"] for e in entries]),
+            "full_proj": jnp.stack([e["cam"]["full_proj"] for e in entries]),
+            "cam_pos": jnp.stack([e["cam"]["cam_pos"] for e in entries]),
+            "K": jnp.asarray(entries[0]["cam"]["K"]),
+            "tan_fovx": jnp.asarray(entries[0]["cam"]["tan_fovx"]),
+            "tan_fovy": jnp.asarray(entries[0]["cam"]["tan_fovy"]),
+        }
+        return frames
+
+    def _rand_schedule(self, iters, n_frames, second_half_last=True):
+        """random.randint per iteration, last-frame pinning in the second half
+        (ref mapper.py:568-576)."""
+        idx = np.random.randint(0, n_frames, size=iters).astype(np.int32)
+        if second_half_last:
+            idx[iters // 2 + 1:] = n_frames - 1
+        return jnp.asarray(idx)
+
+    def local_optimize(self, frame: Camera):
+        """(ref `Mapping.local_optimize`, mapper.py:531-605)."""
+        ts = self.settings.tile_size
+        entries = []
+        for cam, fm in self.processed_frames:
+            rm, tm = render_range_step(self.state, cam, self.settings, False,
+                                       -1.0, None, ts)
+            entries.append({
+                "color": fm["color_map"], "depth": fm["depth_map"],
+                "normal": fm["normal_map_w"], "render_mask": rm,
+                "tile_mask": tm, "cam": cam,
+            })
+        frames = self._stack_frames(entries, ts)
+        iters = self.args.gaussian_update_iter
+        rand_idx = self._rand_schedule(iters, len(entries))
+        confidence_pre = self.state.confidence
+        history = {
+            "xyz": self.state.xyz, "sh": self.state.sh,
+            "scaling": self.state.scaling,
+            "rotation_act": self.state.get_rotation(),
+        }
+        opt_mask = self.state.unstable_mask()
+        self.state, reports = optimize_scan(
+            self.state, frames, rand_idx, self._lrs(), self._weights(),
+            self.settings, iters, gm.UNSTABLE, self.args.add_depth_thres,
+        )
+        self.state = history_merge(
+            self.state, history, confidence_pre, opt_mask,
+            self.args.history_merge_max_weight)
+        self.last_reports = {k: float(v[-1]) for k, v in reports.items()}
+
+    def global_optimization(self, select_keyframe_num: int = -1,
+                            is_end: bool = False):
+        """(ref `Mapping.global_optimization`, mapper.py:1105-1228)."""
+        if select_keyframe_num == -1 or is_end:
+            self.state = gaussians_fix(self.state, -1.0)
+        if int(self.state.num_stable()) == 0 or not self.keyframes:
+            return
+        ts = self.settings.tile_size
+        is_final = select_keyframe_num == -1
+        sample_ratio = -1.0 if is_final else 0.4
+        n_sel = (len(self.keyframes) if is_final
+                 else min(select_keyframe_num, len(self.keyframes)))
+        sel = [self.keyframes[-(i + 1)] for i in range(n_sel)]
+
+        entries = []
+        for kf_frame, cam, keymap in sel:
+            gt = jnp.asarray(keymap["color"])
+            rm, tm = render_range_step(self.state, cam, self.settings, True,
+                                       sample_ratio, gt, ts)
+            entries.append({
+                "color": gt, "depth": jnp.asarray(keymap["depth"]),
+                "normal": jnp.asarray(keymap["normal"]), "render_mask": rm,
+                "tile_mask": None if is_final else tm, "cam": cam,
+            })
+        frames = self._stack_frames(entries, ts)
+
+        if is_final:
+            iters = len(self.keyframes) * self.args.final_global_iter
+            lrs = self._lrs(self.args.feature_lr_coef,
+                            self.args.scaling_lr_coef,
+                            self.args.rotation_lr_coef, position_lr=0.0)
+            weights = dict(self._weights())
+            weights["depth"] = 0.0
+            rand_idx = self._rand_schedule(iters, n_sel, second_half_last=False)
+        else:
+            iters = int(self.args.gaussian_update_iter)
+            lrs = self._lrs(lr_scale=0.1, position_lr=0.0)
+            weights = self._weights()
+            rand_idx = self._rand_schedule(iters, n_sel)
+        # the reference optimizes keyframes against the STABLE-only render
+        # (`global_optimization` renders `self.stable_params`, mapper.py:1206)
+        self.state, reports = optimize_scan(
+            self.state, frames, rand_idx, lrs, weights, self.settings,
+            iters, gm.STABLE, self.args.add_depth_thres,
+            with_tile_mask=not is_final, subset="stable",
+        )
+        self.last_reports = {k: float(v[-1]) for k, v in reports.items()}
+
+    # --------------------------------------------------------------
+    def mapping(self, frame: Camera, frame_map: dict, frame_id: int,
+                object_layer=None):
+        """Per-frame mapping step (ref `Mapping.mapping`, mapper.py:135-246)."""
+        self.gaussians_add(frame, frame_map, frame_id)
+        cam = frame.render_inputs()
+        self.processed_frames.append((cam, frame_map))
+        if len(self.processed_frames) > self.memory_length:
+            self.processed_frames.pop(0)
+
+        if object_layer is not None and frame.detections is not None:
+            object_layer.process_frame(frame, frame_map, frame_id)
+
+        is_keyframe = False
+        if (self.time + 1) % self.args.gaussian_update_frame == 0 or self.time == 0:
+            self.optimize_frames_ids.append(frame_id)
+            is_keyframe = self.check_keyframe(frame, frame_map, frame_id)
+            if not is_keyframe or int(self.state.num_stable()) <= 0:
+                self.local_optimize(frame)
+            else:
+                self.global_optimization(self.args.global_keyframe_num)
+            if object_layer is not None and (is_keyframe or frame_id == 0):
+                object_layer.optimize_objects(frame, frame_id)
+            self.state = gaussians_delete(
+                self.state, jnp.int32(self.time),
+                self.args.unstable_time_window, unstable=False)
+
+        self.state = gaussians_fix(self.state, self.args.stable_confidence_thres)
+        if self.processed_frames and int(self.state.num_stable()) > 0:
+            last_cam, last_fm = self.processed_frames[-1]
+            self.state = error_remove_step(
+                self.state, last_fm, last_cam, self.settings,
+                self.args.add_color_thres, self.args.add_depth_thres,
+                self.args.add_normal_thres, jnp.int32(self.time))
+        self.state = gaussians_delete(
+            self.state, jnp.int32(self.time), self.args.unstable_time_window,
+            unstable=True)
+        return is_keyframe
+
+    # --------------------------------------------------------------
+    def save_model(self, path: Optional[str] = None):
+        from ..utils.ply import save_map_ply
+        if path is None:
+            frame_name = f"frame_{self.time:04d}"
+            d = os.path.join(self.save_path, "save_model", frame_name)
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"iter_{self.iter:04d}")
+        save_map_ply(self.state, path + ".ply", subset="unstable",
+                     include_confidence=True)
+        save_map_ply(self.state, path + "_stable.ply", subset="stable",
+                     include_confidence=True)
+        save_map_ply(self.state, path + "_merge.ply", subset="global",
+                     include_confidence=True)
+        return path

@@ -1,0 +1,240 @@
+"""Frontend tracker: frame preprocessing + pose estimation.
+
+Equivalent of `SLAM/multiprocess/tracker.py` (Tracker). Preprocessing
+(vertex/normal/confidence maps, range + confidence masking, pyramids) and the
+ICP pyramid run as one jitted function per image shape; the pose composition
+and trajectory bookkeeping stay on the host.
+
+The optional feature-based pose backend (`use_orb_backend`, a C++ ORB-SLAM2
+binding in the reference) is pluggable via `pose_backend`; the default
+ICP-only path is what every synthetic-dataset config ships
+(`configs/base.yaml:105`).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.cameras import Camera
+from ..utils import image as im
+from ..utils.math3d import eval_ate
+from .icp import IcpConfig, icp_pyramid
+
+
+@partial(jax.jit, static_argnames=("levels", "min_depth", "max_depth",
+                                   "invalid_confidence_thresh", "depth_filter"))
+def preprocess_frame(depth: jnp.ndarray, color: jnp.ndarray, K: jnp.ndarray,
+                     levels: int = 3, min_depth: float = 0.3,
+                     max_depth: float = 5.0,
+                     invalid_confidence_thresh: float = 0.2,
+                     depth_filter: bool = False):
+    """(ref `Tracker.map_preprocess`, tracker.py:118-199).
+
+    depth (H,W) meters; color (H,W,3). Returns frame_map dict (camera-frame
+    maps + pyramids); world-frame maps are added after tracking.
+    """
+    if depth_filter:
+        depth = im.bilateral_filter(depth, 5, 2.0, 2.0)[..., 0]
+    valid = (depth > min_depth) & (depth < max_depth)
+    depth = jnp.where(valid, depth, 0.0)
+
+    vertex_c = im.compute_vertex_map(depth, K)
+    normal_c = im.compute_normal_map(vertex_c)
+    confidence = im.compute_confidence_map(normal_c, K)
+
+    invalid_conf = (jnp.all(normal_c == 0, axis=-1)
+                    | (confidence[..., 0] < invalid_confidence_thresh))
+    depth = jnp.where(invalid_conf, 0.0, depth)
+    normal_c = jnp.where(invalid_conf[..., None], 0.0, normal_c)
+    vertex_c = jnp.where(invalid_conf[..., None], 0.0, vertex_c)
+    confidence = jnp.where(invalid_conf[..., None], 0.0, confidence)
+
+    vertex_pyr = tuple(im.build_vertex_pyramid(depth, K, levels))
+    normal_pyr = tuple(im.build_normal_pyramid(vertex_pyr))
+    return {
+        "depth_map": depth,
+        "color_map": color,
+        "vertex_map_c": vertex_c,
+        "normal_map_c": normal_c,
+        "confidence_map": confidence,
+        "invalid_confidence_mask": invalid_conf,
+        "vertex_pyr": vertex_pyr,
+        "normal_pyr": normal_pyr,
+    }
+
+
+@partial(jax.jit, static_argnames=("levels",))
+def build_pyramids(depth: jnp.ndarray, K: jnp.ndarray, levels: int = 3):
+    vp = tuple(im.build_vertex_pyramid(depth, K, levels))
+    npyr = tuple(im.build_normal_pyramid(vp))
+    return vp, npyr
+
+
+@jax.jit
+def fuse_model_depth(render_depth, frame_depth, render_normal, frame_normal,
+                     sample_distance_threshold: float = 0.01,
+                     sample_normal_threshold: float = 0.01):
+    """Fill the rendered model depth with observed depth where they disagree
+    (ref `IcpTracker.update_last_status`, icp.py:403-421)."""
+    cos = jnp.sum(render_normal * frame_normal, axis=-1) / (
+        jnp.linalg.norm(render_normal, axis=-1)
+        * jnp.linalg.norm(frame_normal, axis=-1) + 1e-8
+    )
+    normal_mask = (1.0 - cos) > sample_normal_threshold
+    fill = (
+        (jnp.abs(render_depth - frame_depth) > sample_distance_threshold)
+        | (render_depth == 0)
+        | normal_mask
+    ) & (frame_depth > 0)
+    return jnp.where(fill, frame_depth, render_depth)
+
+
+class Tracker:
+    def __init__(self, args, width: int, height: int):
+        self.use_gt_pose = args.use_gt_pose
+        self.icp_use_model_depth = args.icp_use_model_depth
+        self.icp_warmup_frames = args.icp_warmup_frames
+        self.min_depth = args.min_depth
+        self.max_depth = args.max_depth
+        self.depth_filter = args.depth_filter
+        self.invalid_confidence_thresh = args.invalid_confidence_thresh
+        self.icp_sample_distance_threshold = args.icp_sample_distance_threshold
+        self.icp_sample_normal_threshold = args.icp_sample_normal_threshold
+        self.levels = len(args.icp_downscales)
+        self.icp_cfg = IcpConfig(
+            downscales=tuple(args.icp_downscales),
+            iters=tuple(args.icp_downscale_iters),
+            distance_threshold=args.icp_distance_threshold,
+            normal_threshold_cos=float(
+                math.cos(math.radians(args.icp_normal_threshold))),
+            damping=args.icp_damping,
+            fail_threshold=args.icp_fail_threshold,
+        )
+        self.width = width
+        self.height = height
+
+        self.K = None
+        self.pose_gt: list = []
+        self.pose_es: list = []
+        self.timestamps: list = []
+        self.icp_fail_count = 0
+        self._last_pyr = None          # (vertex_pyr, normal_pyr) of frame t0
+        self._last_model_depth = None
+        self._curr_pyr = None
+
+        # optional feature-based backend (ORB-SLAM2-like); None = ICP only
+        self.pose_backend = None
+        if getattr(args, "use_orb_backend", False):
+            try:
+                from .pose_backend import PoseBackend
+                self.pose_backend = PoseBackend(args)
+            except Exception as e:  # pragma: no cover
+                print(f"[tracker] pose backend unavailable ({e}); ICP only")
+
+    # ------------------------------------------------------------------
+    def map_preprocess(self, frame: Camera, frame_id: int) -> dict:
+        self.K = jnp.asarray(frame.K)
+        fm = preprocess_frame(
+            jnp.asarray(frame.depth), jnp.asarray(frame.image), self.K,
+            levels=self.levels, min_depth=self.min_depth,
+            max_depth=self.max_depth,
+            invalid_confidence_thresh=self.invalid_confidence_thresh,
+            depth_filter=self.depth_filter,
+        )
+        self._curr_pyr = (fm["vertex_pyr"], fm["normal_pyr"])
+        fm = dict(fm)
+        fm["time"] = frame_id
+        if frame.semantics is not None:
+            fm["semantics"] = jnp.asarray(frame.semantics)
+        else:
+            fm["semantics"] = None
+        if frame.instance is not None:
+            fm["instance_img"] = jnp.asarray(frame.instance)
+        else:
+            fm["instance_img"] = None
+        return fm
+
+    def tracking(self, frame: Camera, frame_map: dict) -> bool:
+        """Estimate the frame pose, update `frame`, and lift maps to world
+        (ref `Tracker.tracking`, tracker.py:307-339)."""
+        self.pose_gt.append(np.asarray(frame.pose_gt, np.float64))
+        self.timestamps.append(frame.timestamp)
+        success = True
+        if self.use_gt_pose:
+            pose_t1_w = self.pose_gt[-1]
+        elif self._last_pyr is None:
+            pose_t1_w = np.eye(4)
+        else:
+            vp0, np0 = self._last_pyr
+            pose10, p2p, valid_ratio = icp_pyramid(
+                vp0, np0, *self._curr_pyr, self.K, self.icp_cfg
+            )
+            pose10 = np.asarray(pose10, np.float64)
+            success = bool(p2p <= self.icp_cfg.fail_threshold)
+            if not success:
+                self.icp_fail_count += 1
+            if self.pose_backend is not None:
+                pose_t1_w = self.pose_backend.track(
+                    frame, pose10, success)
+            else:
+                pose_t1_w = self.pose_es[-1] @ pose10
+
+        self.move_last_status()
+        self.pose_es.append(np.asarray(pose_t1_w, np.float64))
+        frame.update_pose(pose_t1_w)
+
+        c2w = jnp.asarray(frame.c2w, jnp.float32)
+        frame_map["vertex_map_w"] = im.transform_map(frame_map["vertex_map_c"], c2w)
+        frame_map["normal_map_w"] = im.rotate_map(frame_map["normal_map_c"], c2w)
+        return success
+
+    def move_last_status(self):
+        self._last_pyr = self._curr_pyr
+        if self._last_model_depth is None and self._curr_pyr is not None:
+            pass
+
+    def update_last_status(self, frame, render_depth, frame_depth,
+                           render_normal, frame_normal):
+        """Use the fused rendered depth as the next ICP reference
+        (ref tracker.py:253-263 + icp.py:403-431)."""
+        if not self.icp_use_model_depth:
+            return
+        fused = fuse_model_depth(
+            render_depth, frame_depth, render_normal, frame_normal,
+            self.icp_sample_distance_threshold,
+            self.icp_sample_normal_threshold,
+        )
+        self._last_pyr = build_pyramids(fused, self.K, self.levels)
+
+    # ------------------------------------------------------------------
+    def eval_ate_series(self):
+        es = np.stack([p[:3, 3] for p in self.pose_es])
+        gt = np.stack([p[:3, 3] for p in self.pose_gt])
+        return eval_ate(es, gt)
+
+    def save_traj(self, save_path: str):
+        """(ref `Tracker.save_traj`, tracker.py:396-424): pose npy + TUM txt
+        + final ATE."""
+        traj_dir = os.path.join(save_path, "save_traj")
+        os.makedirs(traj_dir, exist_ok=True)
+        pose_es = np.stack(self.pose_es)
+        pose_gt = np.stack(self.pose_gt)
+        np.save(os.path.join(traj_dir, "pose_es.npy"), pose_es)
+        np.save(os.path.join(traj_dir, "pose_gt.npy"), pose_gt)
+        ate = self.eval_ate_series()
+        with open(os.path.join(traj_dir, "poses.txt"), "w") as f:
+            from scipy.spatial.transform import Rotation as R
+            for ts, p in zip(self.timestamps, self.pose_es):
+                q = R.from_matrix(p[:3, :3]).as_quat()
+                t = p[:3, 3]
+                f.write(f"{ts} {t[0]} {t[1]} {t[2]} {q[0]} {q[1]} {q[2]} {q[3]}\n")
+        with open(os.path.join(traj_dir, "ate.txt"), "w") as f:
+            f.write(f"{ate}\n")
+        return ate

@@ -35,7 +35,9 @@ def sobel_gradient(img: jnp.ndarray):
     wx = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], dtype=img.dtype)
     wy = jnp.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], dtype=img.dtype)
     kern = jnp.stack([wx, wy])[:, None]  # (2,1,3,3)
-    out = jax.lax.conv_general_dilated(x, kern, (1, 1), "VALID")  # (C,2,H,W)
+    out = jax.lax.conv_general_dilated(
+        x, kern, (1, 1), "VALID", precision=jax.lax.Precision.HIGHEST
+    )  # (C,2,H,W)
     gx = jnp.transpose(out[:, 0], (1, 2, 0))
     gy = jnp.transpose(out[:, 1], (1, 2, 0))
     return gx, gy
@@ -82,11 +84,12 @@ def compute_confidence_map(normal_map: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarr
 
 def transform_map(m: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
     """Apply 4x4 transform to an (H,W,3) point map (ref `SLAM/utils.py:56-63`)."""
-    return m @ T[:3, :3].T + T[:3, 3]
+    return jnp.matmul(m, T[:3, :3].T,
+                      precision=jax.lax.Precision.HIGHEST) + T[:3, 3]
 
 
 def rotate_map(m: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
-    return m @ T[:3, :3].T
+    return jnp.matmul(m, T[:3, :3].T, precision=jax.lax.Precision.HIGHEST)
 
 
 # --- pooling / pyramids -----------------------------------------------------

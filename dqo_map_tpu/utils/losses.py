@@ -54,7 +54,8 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.nda
 
     def conv(x):
         return jax.lax.conv_general_dilated(
-            x[None], kern, (1, 1), "SAME", feature_group_count=C
+            x[None], kern, (1, 1), "SAME", feature_group_count=C,
+            precision=jax.lax.Precision.HIGHEST,
         )[0]
 
     mu1 = conv(img1)
@@ -91,8 +92,9 @@ def ms_ssim(img1: jnp.ndarray, img2: jnp.ndarray, levels: int = 5) -> jnp.ndarra
         kern = jnp.broadcast_to(w[None, None], (C, 1, 11, 11))
 
         def conv(x):
-            return jax.lax.conv_general_dilated(x[None], kern, (1, 1), "SAME",
-                                                feature_group_count=C)[0]
+            return jax.lax.conv_general_dilated(
+                x[None], kern, (1, 1), "SAME", feature_group_count=C,
+                precision=jax.lax.Precision.HIGHEST)[0]
 
         mu1, mu2 = conv(a), conv(b)
         s1 = conv(a * a) - mu1 * mu1

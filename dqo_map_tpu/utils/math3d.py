@@ -224,8 +224,9 @@ def homogeneous(points: jnp.ndarray) -> jnp.ndarray:
 
 def transform_points(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Apply a 4x4 transform to (…,3) points."""
-    return pts @ T[:3, :3].T + T[:3, 3]
+    return jnp.matmul(pts, T[:3, :3].T,
+                      precision=jax.lax.Precision.HIGHEST) + T[:3, 3]
 
 
 def transform_dirs(T: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
-    return dirs @ T[:3, :3].T
+    return jnp.matmul(dirs, T[:3, :3].T, precision=jax.lax.Precision.HIGHEST)
