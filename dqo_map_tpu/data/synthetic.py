@@ -172,8 +172,10 @@ def synthetic_sequence(n_frames: int = 30, width: int = 160, height: int = 120,
     K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
     rng = np.random.default_rng(seed + 1)
     cams = []
+    # bounded per-frame motion so frame-to-frame tracking stays feasible
+    step = min(np.pi / max(n_frames, 1), 0.03)
     for i in range(n_frames):
-        ang = 2 * np.pi * i / max(n_frames, 1) * 0.5
+        ang = i * step
         eye = np.array([0.9 * np.sin(ang), 0.15 * np.sin(2 * ang), 0.9 * np.cos(ang) * 0.3])
         target = np.array([1.8 * np.sin(ang + 0.5), 0.3, 1.8 * np.cos(ang + 0.5)])
         c2w = _look_at(eye, target)

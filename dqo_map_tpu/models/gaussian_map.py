@@ -134,7 +134,9 @@ def make_new_points(xyz: jnp.ndarray, normal: jnp.ndarray, color: jnp.ndarray,
         from ..utils.math3d import quaternion_from_two_vectors
         z_axis = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (M, 3))
         rots = quaternion_from_two_vectors(z_axis, normal)
-    opacity = jnp.full((M,), float(inverse_sigmoid(init_opacity)), jnp.float32)
+    import math
+    opacity = jnp.full((M,), math.log(init_opacity / (1 - init_opacity)),
+                       jnp.float32)
     return {
         "xyz": xyz, "sh": sh, "scaling": scaling, "rotation": rots,
         "opacity": opacity, "normal": normal, "valid": valid,

@@ -333,7 +333,8 @@ def densify_step(state: MapState, frame_map: dict, cam: dict,
         (state.xyz[sid] - new["xyz"]) * state.get_normal()[sid], axis=-1)
     attach = on_stable & (jnp.abs(p2p) < 0.5 * add_depth_thres) & (
         state.num_stable() > 0)
-    low_op = gm.inverse_sigmoid(0.1)
+    import math
+    low_op = math.log(0.1 / 0.9)
     new["opacity"] = jnp.where(attach, low_op, new["opacity"])
 
     # update_geometry scale init (ref gaussian_pointcloud.py:519-570):
@@ -418,7 +419,8 @@ def error_remove_step(state: MapState, frame_map: dict, cam: dict,
     return state
 
 
-@partial(jax.jit, static_argnames=("settings", "global_opt", "tile_size"))
+@partial(jax.jit, static_argnames=("settings", "global_opt", "tile_size",
+                                   "sample_ratio"))
 def render_range_step(state: MapState, cam: dict, settings: RenderSettings,
                       global_opt: bool, sample_ratio: float,
                       gt_color: Optional[jnp.ndarray], tile_size: int = 16):

