@@ -17,6 +17,9 @@ def main():
     parser.add_argument("--max-frames", type=int, default=-1)
     parser.add_argument("--eval-every", type=int, default=0)
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="checkpoint path (without .npz) to resume from")
+    parser.add_argument("--checkpoint-every", type=int, default=0)
     args = parser.parse_args()
 
     from ..config import Config
@@ -27,9 +30,11 @@ def main():
     cfg.dump(os.path.join(cfg.map.save_path, "config.yaml"))
 
     system = SLAMSystem(cfg)
+    start = system.resume(args.resume) if args.resume else 0
     eval_every = args.eval_every or cfg.map.save_step
     result = system.run(eval_every=eval_every, verbose=not args.quiet,
-                        max_frames=args.max_frames)
+                        max_frames=args.max_frames, start_frame=start,
+                        checkpoint_every=args.checkpoint_every)
     print(json.dumps({k: v for k, v in result.items()
                       if isinstance(v, (int, float, str, type(None)))},
                      indent=2))

@@ -136,6 +136,7 @@ class MapParams:
     # eval
     renderer_opaque_threshold_eval: float = 0.5
     pcd_densify: bool = False
+    use_prune: bool = False      # visibility pruning via n_touched (USE_PURNE)
 
 
 @dataclass

@@ -40,9 +40,11 @@ class SyntheticScene:
         self.face_colors = rng.uniform(0.2, 0.9, (6, 3))
         self.objects = []
         for i in range(n_objects):
+            # placed along the orbit's look-at arc (target ~ (0.9,0.3,1.6)
+            # at the sequence start) so detections fire from frame 0
             center = np.array([
-                rng.uniform(-1.2, 1.2), rng.uniform(0.6, 1.1),
-                rng.uniform(-1.2, 1.2),
+                rng.uniform(-0.3, 1.1), rng.uniform(0.1, 0.7),
+                rng.uniform(0.7, 1.6),
             ])
             axes = rng.uniform(0.15, 0.35, 3)
             color = rng.uniform(0.1, 1.0, 3)

@@ -546,6 +546,35 @@ class ObjectLayer:
             self.objects[i].ellipsoid_ = Ellipsoid(
                 np.abs(new_axes[slot]), new_R[slot], new_center[slot])
 
+    def obj_id_image(self, width: int, height: int) -> np.ndarray:
+        """(H,W) int32 object-index image from this frame's matched
+        detections (-1 = background). Larger boxes are painted first so
+        smaller (foreground) detections win overlaps. This is what binds new
+        gaussians to objects (ref: the reference labels gaussians inside
+        detection boxes with the object id, gaussian_pointcloud.py obj_id +
+        mapper object masks)."""
+        img = np.full((height, width), -1, np.int32)
+        dets = [d for d in self.current_dets if d.get("obj") is not None]
+        dets.sort(key=lambda d: -bbox_area(d["bbox"]))
+        for det in dets:
+            try:
+                idx = self.objects.index(det["obj"])
+            except ValueError:
+                continue
+            x0, y0, x1, y1 = det["bbox"]
+            x0 = max(0, int(x0)); y0 = max(0, int(y0))
+            x1 = min(width, int(np.ceil(x1))); y1 = min(height, int(np.ceil(y1)))
+            if x1 > x0 and y1 > y0:
+                img[y0:y1, x0:x1] = idx
+        return img
+
+    def categories_table(self) -> np.ndarray:
+        """(MAX_OBJECTS,) int32 category per object slot (-1 = empty)."""
+        t = np.full((MAX_OBJECTS,), -1, np.int32)
+        for i, obj in enumerate(self.objects[:MAX_OBJECTS]):
+            t[i] = int(obj.category_id_)
+        return t
+
     # -- outputs ------------------------------------------------------------
     def record_iou(self, K: np.ndarray) -> dict:
         """Mean projected-bbox IoU per object over its stored observations

@@ -43,6 +43,8 @@ class RenderSettings(NamedTuple):
     T_threshold: float = 1e-4
     tile_size: int = 16
     max_tiles_per_gaussian: int = 16
+    entry_cap: int = 1 << 20            # static sorted-entry capacity
+    max_chunks_per_tile: int = 32       # kernel grid chunk dimension
     sh_degree: int = 3
     scale_modifier: float = 1.0
     bg: tuple = (0.0, 0.0, 0.0)
@@ -59,6 +61,8 @@ class RenderSettings(NamedTuple):
             T_threshold=args.T_threshold,
             tile_size=args.tile_size,
             max_tiles_per_gaussian=args.max_tiles_per_gaussian,
+            entry_cap=getattr(args, "entry_cap", 1 << 20),
+            max_chunks_per_tile=getattr(args, "max_chunks_per_tile", 32),
             sh_degree=args.active_sh_degree,
         )
 
@@ -118,12 +122,20 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
         pre = pre._replace(valid=pre.valid & valid_mask,
                            radius=jnp.where(valid_mask, pre.radius, 0.0))
 
+    from .blend_pallas import CHUNK
+    TH0, TW0 = binning_mod.tile_grid_size(W, H, settings.tile_size)
+    P_stat = means3d.shape[0]
+    # worst case including per-tile alignment padding
+    worst = P_stat * settings.max_tiles_per_gaussian + TH0 * TW0 * CHUNK
+    entry_cap = min(settings.entry_cap, ((worst + CHUNK - 1) // CHUNK) * CHUNK)
+    max_chunks = max(1, min(settings.max_chunks_per_tile, entry_cap // CHUNK))
     b = binning_mod.bin_gaussians(
-        pre, W, H, settings.tile_size, settings.max_tiles_per_gaussian, tile_mask
+        pre, W, H, settings.tile_size, settings.max_tiles_per_gaussian,
+        tile_mask, align=CHUNK, entry_cap=entry_cap, max_chunks=max_chunks,
     )
     TH, TW = binning_mod.tile_grid_size(W, H, settings.tile_size)
     num_tiles = TH * TW
-    entry_valid = b.entry_tile < num_tiles
+    entry_valid = b.entry_valid
 
     params = BlendParams(
         opaque_threshold=settings.opaque_threshold,
@@ -139,6 +151,7 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
         out = blend_tiles_pallas(
             pre, b, entry_valid, colors, opacities, num_tiles,
             settings.tile_size, W, H, cam["K"], params, settings.bg,
+            max_chunks=max_chunks,
         )
     else:
         feats = gather_entry_feats(

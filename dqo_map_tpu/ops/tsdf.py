@@ -82,27 +82,38 @@ def integrate(vol: TSDFVolume, depth: jnp.ndarray, color: jnp.ndarray,
 
 @jax.jit
 def extract_surface_points(vol: TSDFVolume, weight_thresh: float = 1.0):
-    """Zero-crossing voxel surface samples with linear interpolation along x.
+    """Zero-crossing voxel surface samples, linear interpolation along each of
+    the three grid axes (a surface perpendicular to one axis only crosses
+    along that axis).
 
-    Returns (points (N,3), colors (N,3), valid (N,)) with N = voxel count
-    (masked static output).
+    Returns (points (N,3), colors (N,3), valid (N,)) with static
+    N = sum over axes of crossing-pair counts (masked output).
     """
     t = vol.tsdf
     w = vol.weight
     X, Y, Z = t.shape
-    t0 = t[:-1]
-    t1 = t[1:]
-    cross = (jnp.sign(t0) != jnp.sign(t1)) & (w[:-1] >= weight_thresh) & (
-        w[1:] >= weight_thresh) & (jnp.abs(t0) < 1) & (jnp.abs(t1) < 1)
-    frac = jnp.where(jnp.abs(t0 - t1) > 1e-9, t0 / (t0 - t1), 0.5)
-    ii = jnp.arange(X - 1)
-    gx, gy, gz = jnp.meshgrid(ii, jnp.arange(Y), jnp.arange(Z), indexing="ij")
-    px = (gx.astype(jnp.float32) + 0.5 + frac) * vol.voxel + vol.origin[0]
-    py = (gy.astype(jnp.float32) + 0.5) * vol.voxel + vol.origin[1]
-    pz = (gz.astype(jnp.float32) + 0.5) * vol.voxel + vol.origin[2]
-    pts = jnp.stack([px, py, pz], -1).reshape(-1, 3)
-    cols = vol.color[:-1].reshape(-1, 3)
-    return pts, cols, cross.reshape(-1)
+    base = jnp.stack(
+        jnp.meshgrid(jnp.arange(X), jnp.arange(Y), jnp.arange(Z),
+                     indexing="ij"), -1).astype(jnp.float32) + 0.5
+
+    def along(axis):
+        sl0 = [slice(None)] * 3
+        sl1 = [slice(None)] * 3
+        sl0[axis] = slice(None, -1)
+        sl1[axis] = slice(1, None)
+        sl0, sl1 = tuple(sl0), tuple(sl1)
+        t0, t1 = t[sl0], t[sl1]
+        cross = (jnp.sign(t0) != jnp.sign(t1)) \
+            & (w[sl0] >= weight_thresh) & (w[sl1] >= weight_thresh) \
+            & (jnp.abs(t0) < 1) & (jnp.abs(t1) < 1)
+        frac = jnp.where(jnp.abs(t0 - t1) > 1e-9, t0 / (t0 - t1), 0.5)
+        grid = base[sl0].at[..., axis].add(frac)
+        pts = grid.reshape(-1, 3) * vol.voxel + vol.origin
+        cols = vol.color[sl0].reshape(-1, 3)
+        return pts, cols, cross.reshape(-1)
+
+    parts = [along(a) for a in range(3)]
+    return tuple(jnp.concatenate([p[i] for p in parts]) for i in range(3))
 
 
 def fuse_frames(cameras, depths, colors, voxel_size=0.02, margin=0.3,

@@ -154,12 +154,13 @@ def compute_loss(render_out: dict, image_input: dict, params: dict,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("settings", "iters", "status_value",
-                                   "use_ssim", "with_tile_mask", "subset"))
+                                   "use_ssim", "with_tile_mask", "subset",
+                                   "bucket"))
 def optimize_scan(state: MapState, frames: dict, rand_idx: jnp.ndarray,
                   lrs: dict, weights: dict, settings: RenderSettings,
                   iters: int, status_value: int, add_depth_thres: float,
                   use_ssim: bool = False, with_tile_mask: bool = True,
-                  subset: str = "global"):
+                  subset: str = "global", bucket: int = None):
     """Run `iters` Adam steps over the gaussians with status==status_value.
 
     frames: stacked dict — color (F,H,W,3), depth (F,H,W), normal (F,H,W,3),
@@ -198,7 +199,8 @@ def optimize_scan(state: MapState, frames: dict, rand_idx: jnp.ndarray,
 
         def loss_fn(p):
             st = set_params(state, p)
-            out = render_state(st, cam, settings, subset, tile_mask)
+            out = render_state(st, cam, settings, subset, tile_mask,
+                               bucket=bucket)
             return compute_loss(out, image_input, p, init_stat, opt_mask,
                                 weights, add_depth_thres, use_ssim)
 
@@ -246,10 +248,11 @@ def history_merge(state: MapState, history: dict, confidence_pre: jnp.ndarray,
 # densification (ref mapper.py:1231-1462)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("settings", "max_add", "cfg"))
+@partial(jax.jit, static_argnames=("settings", "max_add", "cfg", "bucket"))
 def densify_step(state: MapState, frame_map: dict, cam: dict,
                  model_map: Optional[dict], key, time, frame_id,
-                 settings: RenderSettings, max_add: int, cfg: tuple):
+                 settings: RenderSettings, max_add: int, cfg: tuple,
+                 bucket: int = None):
     """Sample new gaussians, filter against the map, attach to stable
     surfaces, init scales by KNN, and append. One compiled pipeline.
 
@@ -302,21 +305,32 @@ def densify_step(state: MapState, frame_map: dict, cam: dict,
     vert = frame_map["vertex_map_w"].reshape(-1, 3)[idx]
     norm = frame_map["normal_map_w"].reshape(-1, 3)[idx]
     col = frame_map["color_map"].reshape(-1, 3)[idx]
+    oid = (frame_map["obj_id_map"].reshape(-1)[idx]
+           if "obj_id_map" in frame_map else None)
 
     new = gm.make_new_points(
-        vert, norm, col, valid, time, frame_id, init_opacity, (xf0, xf1, xf2))
+        vert, norm, col, valid, time, frame_id, init_opacity, (xf0, xf1, xf2),
+        obj_id=oid)
 
     # temp_points_filter (ref mapper.py:1351-1380): drop points already
     # covered by an unstable gaussian (3-NN within 0.6 x radius)
     unstable = state.status == gm.UNSTABLE
-    d2, nn_idx = knn(new["xyz"], state.xyz, unstable, k=3)
-    nn_rad = state.get_radius()[nn_idx] * 0.6
+    if bucket is not None and bucket < state.capacity:
+        uidx = jnp.nonzero(unstable, size=bucket,
+                           fill_value=state.capacity)[0]
+        ugi = jnp.clip(uidx, 0, state.capacity - 1)
+        d2, nn_idx = knn(new["xyz"], state.xyz[ugi],
+                         uidx < state.capacity, k=3)
+        nn_rad = state.get_radius()[ugi][nn_idx] * 0.6
+    else:
+        d2, nn_idx = knn(new["xyz"], state.xyz, unstable, k=3)
+        nn_rad = state.get_radius()[nn_idx] * 0.6
     covered = jnp.any(jnp.sqrt(d2) < nn_rad, axis=-1) & (state.num_unstable() > 0)
     new["valid"] = new["valid"] & (~covered)
 
     # temp_points_attach (ref mapper.py:1384-1435): points landing on a
     # stable surface get low opacity
-    stable_out = render_state(state, cam, settings, "stable")
+    stable_out = render_state(state, cam, settings, "stable", bucket=bucket)
     uv_h = im.transform_map(new["xyz"][None], cam["w2c"])[0]
     uu = uv_h[:, 0] / jnp.where(uv_h[:, 2] == 0, 1e-8, uv_h[:, 2])
     vv = uv_h[:, 1] / jnp.where(uv_h[:, 2] == 0, 1e-8, uv_h[:, 2])
@@ -338,12 +352,23 @@ def densify_step(state: MapState, frame_map: dict, cam: dict,
     new["opacity"] = jnp.where(attach, low_op, new["opacity"])
 
     # update_geometry scale init (ref gaussian_pointcloud.py:519-570):
-    # KNN against new points + existing alive gaussians
+    # KNN against new points + existing alive gaussians (bucket-compacted)
     M = new["xyz"].shape[0]
-    cand_xyz = jnp.concatenate([new["xyz"], state.xyz])
-    cand_rad = jnp.concatenate(
-        [jnp.full((M,), 1e-6), state.get_radius()])
-    cand_valid = jnp.concatenate([new["valid"], state.alive()])
+    if bucket is not None and bucket < state.capacity:
+        cidx = jnp.nonzero(state.alive(), size=bucket,
+                           fill_value=state.capacity)[0]
+        cin = cidx < state.capacity
+        gi = jnp.clip(cidx, 0, state.capacity - 1)
+        exist_xyz = state.xyz[gi]
+        exist_rad = state.get_radius()[gi]
+        exist_valid = cin
+    else:
+        exist_xyz = state.xyz
+        exist_rad = state.get_radius()
+        exist_valid = state.alive()
+    cand_xyz = jnp.concatenate([new["xyz"], exist_xyz])
+    cand_rad = jnp.concatenate([jnp.full((M,), 1e-6), exist_rad])
+    cand_valid = jnp.concatenate([new["valid"], exist_valid])
     log_scales, keep = update_geometry_scales(
         new["xyz"], new["valid"], cand_xyz, cand_rad, cand_valid,
         scale_factor, (xf0, xf1, xf2), min_radius, max_radius)
@@ -377,13 +402,33 @@ def gaussians_delete(state: MapState, time, unstable_time_window: int,
     return gm.delete_points(state, big)
 
 
-@partial(jax.jit, static_argnames=("settings",))
+@partial(jax.jit, static_argnames=("width", "height"))
+def prune_untouched(state: MapState, n_touched, w2c, K, width: int,
+                    height: int, time, grace: int):
+    """Kill unstable gaussians that are inside the current frustum yet
+    touched zero pixels in this render (the reference's USE_PURNE path:
+    n_touched counters from the rasterizer feed visibility pruning).
+    Out-of-view gaussians are untouched by definition and must survive."""
+    xyT = state.xyz.T
+    zc = w2c[2, 0] * xyT[0] + w2c[2, 1] * xyT[1] + w2c[2, 2] * xyT[2] + w2c[2, 3]
+    xc = w2c[0, 0] * xyT[0] + w2c[0, 1] * xyT[1] + w2c[0, 2] * xyT[2] + w2c[0, 3]
+    yc = w2c[1, 0] * xyT[0] + w2c[1, 1] * xyT[1] + w2c[1, 2] * xyT[2] + w2c[1, 3]
+    zs = jnp.where(zc <= 0, 1e-6, zc)
+    u = xc / zs * K[0, 0] + K[0, 2]
+    v = yc / zs * K[1, 1] + K[1, 2]
+    in_view = (zc > 0.2) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+    kill = (state.unstable_mask() & in_view & (n_touched == 0)
+            & ((time - state.add_tick) > grace))
+    return gm.delete_points(state, kill)
+
+
+@partial(jax.jit, static_argnames=("settings", "bucket"))
 def error_remove_step(state: MapState, frame_map: dict, cam: dict,
                       settings: RenderSettings, add_color_thres: float,
                       add_depth_thres: float, add_normal_thres: float,
-                      time):
+                      time, bucket: int = None):
     """(ref `error_gaussians_remove`, mapper.py:989-1102)."""
-    out = render_state(state, cam, settings, "global")
+    out = render_state(state, cam, settings, "global", bucket=bucket)
     depth_error = jnp.abs(frame_map["depth_map"] - out["depth"])
     depth_error = jnp.where(
         (frame_map["depth_map"] - out["depth"]) < 0, 0.0, depth_error)
@@ -420,13 +465,14 @@ def error_remove_step(state: MapState, frame_map: dict, cam: dict,
 
 
 @partial(jax.jit, static_argnames=("settings", "global_opt", "tile_size",
-                                   "sample_ratio"))
+                                   "sample_ratio", "bucket"))
 def render_range_step(state: MapState, cam: dict, settings: RenderSettings,
                       global_opt: bool, sample_ratio: float,
-                      gt_color: Optional[jnp.ndarray], tile_size: int = 16):
+                      gt_color: Optional[jnp.ndarray], tile_size: int = 16,
+                      bucket: int = None):
     """(ref `evaluate_render_range`, mapper.py:930-988)."""
     subset = "stable" if global_opt else "unstable"
-    out = render_state(state, cam, settings, subset)
+    out = render_state(state, cam, settings, subset, bucket=bucket)
     T_map = out["T_map"]
     if global_opt and sample_ratio > 0:
         image_diff = jnp.abs(out["render"] - gt_color).sum(axis=-1)
@@ -467,9 +513,14 @@ class Mapping:
         self.optimize_frames_ids: list = []
 
         self.model_map: Optional[dict] = None
+        self._cached_counts = None
+        self.bucket = 4096           # render bucket (power of two >= alive)
         self.key = jax.random.key(2024)
         self.last_reports: dict = {}
         self.save_path = args.save_path
+        from ..utils.monitor import ScalarLogger
+        self.logger = ScalarLogger(self.save_path,
+                                   enabled=bool(args.use_tensorboard))
 
     # --------------------------------------------------------------
     def _next_key(self):
@@ -499,9 +550,39 @@ class Mapping:
 
     # --------------------------------------------------------------
     def get_render_output(self, cam_inputs: dict) -> dict:
-        out = render_state(self.state, cam_inputs, self.settings, "global")
+        out = self._render_global(self.state, cam_inputs, self.settings,
+                                  self.bucket)
         self.model_map = out
         return out
+
+    @staticmethod
+    @partial(jax.jit, static_argnames=("settings", "bucket"))
+    def _render_global(state, cam_inputs, settings, bucket):
+        return render_state(state, cam_inputs, settings, "global",
+                            bucket=bucket)
+
+    @staticmethod
+    @jax.jit
+    def _counts(state):
+        return (jnp.sum(state.status == gm.UNSTABLE),
+                jnp.sum(state.status == gm.STABLE))
+
+    def counts(self):
+        """(n_unstable, n_stable) with one device sync; cached per frame."""
+        if self._cached_counts is None:
+            u, st = self._counts(self.state)
+            self._cached_counts = (int(u), int(st))
+        return self._cached_counts
+
+    def _update_bucket(self):
+        # 4x growth steps: each bucket change recompiles the big jitted
+        # steps, so keep the ladder short (4096, 16k, 64k, 256k, cap)
+        u, st = self.counts()
+        want = max(4096, int((u + st) * 1.3))
+        b = 4096
+        while b < want:
+            b *= 4
+        self.bucket = max(self.bucket, min(b, self.state.capacity))  # no shrink
 
     def gaussians_add(self, frame: Camera, frame_map: dict, frame_id: int):
         cam = frame.render_inputs()
@@ -517,10 +598,16 @@ class Mapping:
             self.args.scale_factor, self.args.min_radius,
             self.args.max_radius, is_first,
         )
+        if (not is_first and getattr(self.args, "use_prune", False)
+                and model_map is not None):
+            self.state = prune_untouched(
+                self.state, model_map["n_touched"], cam["w2c"], cam["K"],
+                self.width, self.height, jnp.int32(self.time),
+                self.args.unstable_time_window // 2)
         self.state, n_added = densify_step(
             self.state, frame_map, cam, model_map, self._next_key(),
             jnp.int32(self.time), jnp.int32(frame_id), self.settings,
-            self.args.add_capacity, cfg,
+            self.args.add_capacity, cfg, bucket=self.bucket,
         )
         self._maybe_compact()
         return int(n_added)
@@ -590,7 +677,7 @@ class Mapping:
         entries = []
         for cam, fm in self.processed_frames:
             rm, tm = render_range_step(self.state, cam, self.settings, False,
-                                       -1.0, None, ts)
+                                       -1.0, None, ts, bucket=self.bucket)
             entries.append({
                 "color": fm["color_map"], "depth": fm["depth_map"],
                 "normal": fm["normal_map_w"], "render_mask": rm,
@@ -609,18 +696,21 @@ class Mapping:
         self.state, reports = optimize_scan(
             self.state, frames, rand_idx, self._lrs(), self._weights(),
             self.settings, iters, gm.UNSTABLE, self.args.add_depth_thres,
+            bucket=self.bucket,
         )
         self.state = history_merge(
             self.state, history, confidence_pre, opt_mask,
             self.args.history_merge_max_weight)
         self.last_reports = {k: float(v[-1]) for k, v in reports.items()}
+        self.logger.log_dict(self.time, self.last_reports, "local/")
 
     def global_optimization(self, select_keyframe_num: int = -1,
                             is_end: bool = False):
         """(ref `Mapping.global_optimization`, mapper.py:1105-1228)."""
         if select_keyframe_num == -1 or is_end:
             self.state = gaussians_fix(self.state, -1.0)
-        if int(self.state.num_stable()) == 0 or not self.keyframes:
+            self._cached_counts = None
+        if self.counts()[1] == 0 or not self.keyframes:
             return
         ts = self.settings.tile_size
         is_final = select_keyframe_num == -1
@@ -633,7 +723,8 @@ class Mapping:
         for kf_frame, cam, keymap in sel:
             gt = jnp.asarray(keymap["color"])
             rm, tm = render_range_step(self.state, cam, self.settings, True,
-                                       sample_ratio, gt, ts)
+                                       sample_ratio, gt, ts,
+                                       bucket=self.bucket)
             entries.append({
                 "color": gt, "depth": jnp.asarray(keymap["depth"]),
                 "normal": jnp.asarray(keymap["normal"]), "render_mask": rm,
@@ -660,27 +751,33 @@ class Mapping:
             self.state, frames, rand_idx, lrs, weights, self.settings,
             iters, gm.STABLE, self.args.add_depth_thres,
             with_tile_mask=not is_final, subset="stable",
+            bucket=self.bucket,
         )
         self.last_reports = {k: float(v[-1]) for k, v in reports.items()}
+        self.logger.log_dict(self.time, self.last_reports, "global/")
 
     # --------------------------------------------------------------
     def mapping(self, frame: Camera, frame_map: dict, frame_id: int,
                 object_layer=None):
         """Per-frame mapping step (ref `Mapping.mapping`, mapper.py:135-246)."""
+        self._cached_counts = None
+        if object_layer is not None:
+            if frame.detections is not None:
+                object_layer.process_frame(frame, frame_map, frame_id)
+            # bind this frame's new gaussians to matched objects
+            frame_map["obj_id_map"] = jnp.asarray(
+                object_layer.obj_id_image(frame.width, frame.height))
         self.gaussians_add(frame, frame_map, frame_id)
         cam = frame.render_inputs()
         self.processed_frames.append((cam, frame_map))
         if len(self.processed_frames) > self.memory_length:
             self.processed_frames.pop(0)
 
-        if object_layer is not None and frame.detections is not None:
-            object_layer.process_frame(frame, frame_map, frame_id)
-
         is_keyframe = False
         if (self.time + 1) % self.args.gaussian_update_frame == 0 or self.time == 0:
             self.optimize_frames_ids.append(frame_id)
             is_keyframe = self.check_keyframe(frame, frame_map, frame_id)
-            if not is_keyframe or int(self.state.num_stable()) <= 0:
+            if not is_keyframe or self.counts()[1] <= 0:
                 self.local_optimize(frame)
             else:
                 self.global_optimization(self.args.global_keyframe_num)
@@ -691,15 +788,18 @@ class Mapping:
                 self.args.unstable_time_window, unstable=False)
 
         self.state = gaussians_fix(self.state, self.args.stable_confidence_thres)
-        if self.processed_frames and int(self.state.num_stable()) > 0:
+        self._cached_counts = None
+        if self.processed_frames and self.counts()[1] > 0:
             last_cam, last_fm = self.processed_frames[-1]
             self.state = error_remove_step(
                 self.state, last_fm, last_cam, self.settings,
                 self.args.add_color_thres, self.args.add_depth_thres,
-                self.args.add_normal_thres, jnp.int32(self.time))
+                self.args.add_normal_thres, jnp.int32(self.time),
+                bucket=self.bucket)
         self.state = gaussians_delete(
             self.state, jnp.int32(self.time), self.args.unstable_time_window,
             unstable=True)
+        self._update_bucket()
         return is_keyframe
 
     # --------------------------------------------------------------

@@ -4,6 +4,14 @@ API twin of `SLAM/render.py::Renderer`: holds the render thresholds from the
 config and exposes `render(camera, map_state, subset, tile_mask)` returning
 the reference's output dict (render/depth/normal/index maps/hit weights/
 T_map/n_touched).
+
+Bucketed compaction: the MapState is a fixed-capacity array with dead slots;
+binning/sorting all `capacity` slots would dominate once capacity >> alive.
+`render_state(..., bucket=N)` first compacts the requested subset into a
+static-size bucket via `jnp.nonzero(size=...)` so every downstream cost
+(SH eval, EWA preprocess, the (P x 16)-entry sort, gathers) scales with the
+live map, while index maps are translated back to GLOBAL slot ids so
+consumers (error accumulation, attach, normal scatter) are unaffected.
 """
 
 from __future__ import annotations
@@ -11,6 +19,7 @@ from __future__ import annotations
 import math
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..models.gaussian_map import MapState, STABLE, UNSTABLE
@@ -34,9 +43,60 @@ class Renderer:
 
     def render(self, cam_inputs: dict, state: MapState, subset: str = "global",
                tile_mask: Optional[jnp.ndarray] = None,
-               colors_precomp: Optional[jnp.ndarray] = None) -> dict:
+               bucket: Optional[int] = None) -> dict:
         return render_state(state, cam_inputs, self.settings, subset,
-                            tile_mask, colors_precomp)
+                            tile_mask, bucket=bucket)
+
+
+def palette_color(ids: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic id -> RGB in [0,1]; id < 0 renders black.
+
+    Used for the object-ID / instance passes (ref `Renderer.render` extra
+    color passes, SLAM/render.py:227-266 — the reference rasterizes
+    per-gaussian semantic/instance colors with the same geometry)."""
+    i = ids.astype(jnp.uint32)
+    h = i * jnp.uint32(2654435761)
+    r = ((h >> 0) & 255).astype(jnp.float32) / 255.0
+    g = ((h >> 8) & 255).astype(jnp.float32) / 255.0
+    b = ((h >> 16) & 255).astype(jnp.float32) / 255.0
+    rgb = jnp.stack([r, g, b], -1) * 0.85 + 0.15
+    return jnp.where((ids >= 0)[:, None], rgb, 0.0)
+
+
+def render_color_pass(state: MapState, cam_inputs: dict,
+                      settings: RenderSettings, colors: jnp.ndarray,
+                      subset: str = "global",
+                      bucket: Optional[int] = None) -> jnp.ndarray:
+    """Rasterize arbitrary per-gaussian colors with the map's geometry
+    (semantic / instance / object-ID passes). Geometry is stop-gradient:
+    these passes never train shape, matching the reference's extra passes."""
+    out = render_state(
+        jax.tree.map(jax.lax.stop_gradient, state), cam_inputs, settings,
+        subset, colors_precomp=colors, bucket=bucket)
+    return out["render"]
+
+
+def render_instance(state: MapState, cam_inputs: dict,
+                    settings: RenderSettings,
+                    bucket: Optional[int] = None) -> jnp.ndarray:
+    """Object-instance image: per-gaussian obj_id through the palette."""
+    return render_color_pass(state, cam_inputs, settings,
+                             palette_color(state.obj_id), bucket=bucket)
+
+
+def render_semantic(state: MapState, cam_inputs: dict,
+                    settings: RenderSettings, categories: jnp.ndarray,
+                    bucket: Optional[int] = None) -> jnp.ndarray:
+    """Semantic (category-color) image: obj_id -> category -> palette.
+
+    `categories` is the (MAX_OBJECTS,) int32 category table from the object
+    layer; gaussians without an object render black."""
+    n = categories.shape[0]
+    oid = state.obj_id
+    cat = jnp.where((oid >= 0) & (oid < n),
+                    categories[jnp.clip(oid, 0, n - 1)], -1)
+    return render_color_pass(state, cam_inputs, settings, palette_color(cat),
+                             bucket=bucket)
 
 
 def subset_mask(state: MapState, subset: str) -> jnp.ndarray:
@@ -52,12 +112,55 @@ def subset_mask(state: MapState, subset: str) -> jnp.ndarray:
 def render_state(state: MapState, cam_inputs: dict, settings: RenderSettings,
                  subset: str = "global",
                  tile_mask: Optional[jnp.ndarray] = None,
-                 colors_precomp: Optional[jnp.ndarray] = None) -> dict:
+                 colors_precomp: Optional[jnp.ndarray] = None,
+                 bucket: Optional[int] = None) -> dict:
     valid = subset_mask(state, subset)
+    cap = state.capacity
+    if bucket is not None and bucket < cap:
+        idx = jnp.nonzero(valid, size=bucket, fill_value=cap)[0]
+        in_bucket = idx < cap
+        gi = jnp.clip(idx, 0, cap - 1)
+        xyz = state.xyz[gi]
+        scaling = jnp.exp(state.scaling[gi])
+        rot_raw = state.rotation[gi]
+        opac = jax.nn.sigmoid(state.opacity[gi])
+        sh = state.sh[gi]
+        cp = colors_precomp[gi] if colors_precomp is not None else None
+        from ..utils.math3d import normalize
+        rotation = normalize(rot_raw)
+        sub = MapState(
+            xyz=xyz, sh=sh, scaling=state.scaling[gi], rotation=rot_raw,
+            opacity=state.opacity[gi], confidence=state.confidence[gi],
+            add_tick=state.add_tick[gi],
+            depth_err_cnt=state.depth_err_cnt[gi],
+            color_err_cnt=state.color_err_cnt[gi],
+            frame_id=state.frame_id[gi], obj_id=state.obj_id[gi],
+            status=jnp.where(in_bucket, 1, 0).astype(jnp.int32),
+            count=jnp.sum(in_bucket.astype(jnp.int32)),
+        )
+        colors = cp if cp is not None else eval_colors(
+            sh, xyz, cam_inputs["cam_pos"], settings.sh_degree)
+        out = rasterize(
+            xyz, scaling, rotation, opac, colors, cam_inputs, settings,
+            tile_mask=tile_mask, normal_w=sub.get_normal(),
+            valid_mask=in_bucket,
+        )
+        # translate index maps + n_touched back to global slot ids
+        for key in ("depth_index_map", "color_index_map"):
+            m = out[key]
+            out[key] = jnp.where(m >= 0, idx[jnp.clip(m, 0)].astype(jnp.int32),
+                                 -1)
+        out["n_touched"] = jnp.zeros(cap + 1, jnp.int32).at[idx].add(
+            out["n_touched"], mode="drop")[:cap]
+        out["bucket_overflow"] = jnp.sum(valid) > bucket
+        return out
+
     colors = (colors_precomp if colors_precomp is not None else eval_colors(
         state.sh, state.xyz, cam_inputs["cam_pos"], settings.sh_degree))
-    return rasterize(
+    out = rasterize(
         state.xyz, state.get_scaling(), state.get_rotation(),
         state.get_opacity(), colors, cam_inputs, settings,
         tile_mask=tile_mask, normal_w=state.get_normal(), valid_mask=valid,
     )
+    out["bucket_overflow"] = jnp.asarray(False)
+    return out

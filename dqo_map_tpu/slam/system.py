@@ -47,6 +47,15 @@ class SLAMSystem:
         self.save_path = cfg.map.save_path
         os.makedirs(self.save_path, exist_ok=True)
         self.metrics_history = []
+        # overlapped-mode sync (ref slam_mp strict/loose/free knobs,
+        # SLAM/multiprocess/system.py): how often the host blocks on the
+        # mapper's device queue. strict = every frame (fully synchronous);
+        # loose = every `sync_tracker2mapper_frames`; free = never inside
+        # step() (XLA's async dispatch queue IS the tracker->mapper queue).
+        self.sync_method = getattr(cfg.system, "sync_tracker2mapper_method",
+                                   "strict")
+        self.sync_frames = max(1, int(getattr(
+            cfg.system, "sync_tracker2mapper_frames", 1) or 1))
 
     # ------------------------------------------------------------------
     def step(self, frame: Camera, frame_id: int) -> dict:
@@ -62,23 +71,64 @@ class SLAMSystem:
         self.tracker.update_last_status(
             frame, out["depth"], frame_map["depth_map"], out["normal"],
             frame_map["normal_map_w"])
-        jax.block_until_ready(out["render"])
+        if (self.sync_method == "strict"
+                or (self.sync_method == "loose"
+                    and (frame_id + 1) % self.sync_frames == 0)):
+            jax.block_until_ready(out["render"])
         t2 = time.time()
         self.recorder.update_mean("mapping", t2 - t1)
         return {"tracker_s": t1 - t0, "mapper_s": t2 - t1}
 
+    def save_checkpoint(self, path: Optional[str] = None) -> str:
+        from ..utils.checkpoint import save_checkpoint
+        if path is None:
+            path = os.path.join(self.save_path, "checkpoint",
+                                f"ckpt_{self.mapping.time:05d}")
+        return save_checkpoint(path, self)
+
+    def resume(self, path: str) -> int:
+        """Restore from `save_checkpoint` output (pass the path without the
+        .npz suffix); returns the next frame id."""
+        from ..utils.checkpoint import load_checkpoint
+        if path.endswith(".npz"):
+            path = path[:-4]
+        return load_checkpoint(path, self)
+
+    def _save_object_passes(self, frame: Camera):
+        """Instance / semantic rasterization passes on the final frame
+        (ref `Renderer.render` semantic/instance passes,
+        SLAM/render.py:227-266)."""
+        import numpy as np_
+        from PIL import Image
+
+        from ..slam.renderer import render_instance, render_semantic
+
+        cam = frame.render_inputs()
+        m = self.mapping
+        inst = render_instance(m.state, cam, m.renderer.settings,
+                               bucket=m.bucket)
+        cats = jax.numpy.asarray(self.object_layer.categories_table())
+        sem = render_semantic(m.state, cam, m.renderer.settings, cats,
+                              bucket=m.bucket)
+        d = os.path.join(self.save_path, "eval_render")
+        os.makedirs(d, exist_ok=True)
+        for name, img in (("instance", inst), ("semantic", sem)):
+            arr = np_.clip(np_.asarray(img) * 255, 0, 255).astype(np_.uint8)
+            Image.fromarray(arr).save(os.path.join(d, f"{name}.png"))
+
     def run(self, eval_every: int = 0, verbose: bool = True,
-            max_frames: int = -1) -> dict:
+            max_frames: int = -1, start_frame: int = 0,
+            checkpoint_every: int = 0) -> dict:
         n = len(self.cameras) if max_frames < 0 else min(max_frames,
                                                          len(self.cameras))
-        for frame_id in range(n):
+        for frame_id in range(start_frame, n):
             frame = self.cameras[frame_id]
             info = self.step(frame, frame_id)
             if verbose:
+                u, st = self.mapping.counts()
                 print(f"frame {frame_id:4d}: tracker {info['tracker_s']*1000:6.1f} ms"
                       f"  mapper {info['mapper_s']*1000:6.1f} ms"
-                      f"  unstable {int(self.mapping.state.num_unstable())}"
-                      f"  stable {int(self.mapping.state.num_stable())}")
+                      f"  unstable {u}  stable {st}")
             if eval_every and ((frame_id + 1) % eval_every == 0 or frame_id == 0):
                 m = eval_frame(self.mapping, frame,
                                os.path.join(self.save_path, "eval_render"),
@@ -90,6 +140,10 @@ class SLAMSystem:
                     print(f"  eval: psnr {m['psnr']:.2f}  depth-L1 "
                           f"{m['depth_l1_cm']:.2f} cm")
             self.mapping.time += 1
+            if checkpoint_every and (frame_id + 1) % checkpoint_every == 0:
+                p = self.save_checkpoint()
+                if verbose:
+                    print(f"  checkpoint -> {p}")
 
         # final global optimization + eval (ref slam.py:181-199)
         self.mapping.global_optimization(is_end=True)
@@ -107,6 +161,7 @@ class SLAMSystem:
         self.mapping.save_model()
         if self.object_layer is not None:
             self.object_layer.save(os.path.join(self.save_path, "save_obj"))
+            self._save_object_passes(last)
         self.recorder.cal_fps()
         perf = self.recorder.save(self.save_path)
         result = {**final, "ate_cm": ate, **perf}

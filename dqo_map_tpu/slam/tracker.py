@@ -170,7 +170,13 @@ class Tracker:
         if self.use_gt_pose:
             pose_t1_w = self.pose_gt[-1]
         elif self._last_pyr is None:
-            pose_t1_w = np.eye(4)
+            # first frame — or first frame after a checkpoint resume, where
+            # the previous pyramid isn't restored: hold the last pose
+            pose_t1_w = self.pose_es[-1] if self.pose_es else np.eye(4)
+            if self.pose_backend is not None:
+                # prime the feature tracker's reference frame
+                self.pose_backend.ingest(frame)
+                self.pose_backend.poses.append(pose_t1_w)
         else:
             vp0, np0 = self._last_pyr
             pose10, p2p, valid_ratio = icp_pyramid(

@@ -47,3 +47,49 @@ class Recorder:
         with open(os.path.join(save_path, "performance.json"), "w") as f:
             json.dump(data, f, indent=2)
         return data
+
+
+class ScalarLogger:
+    """Training-curve logger (the reference's `use_tensorboard` slot,
+    mapper SummaryWriter usage). Writes append-only JSONL — one
+    `{"step": n, "tag": ..., "value": ...}` per line — which any plotting
+    tool can consume; mirrors to TensorBoard when the package is present."""
+
+    def __init__(self, save_path: str, enabled: bool = True):
+        self.enabled = enabled
+        self._f = None
+        self._tb = None
+        if not enabled:
+            return
+        os.makedirs(save_path, exist_ok=True)
+        self._f = open(os.path.join(save_path, "scalars.jsonl"), "a")
+        try:  # optional mirror
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(os.path.join(save_path, "tb"))
+        except Exception:
+            self._tb = None
+
+    def log(self, step: int, tag: str, value: float):
+        if not self.enabled or self._f is None:
+            return
+        self._f.write(json.dumps(
+            {"step": int(step), "tag": tag, "value": float(value),
+             "t": time.time()}) + "\n")
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+
+    def log_dict(self, step: int, values: dict, prefix: str = ""):
+        for k, v in values.items():
+            self.log(step, prefix + k, v)
+        self.flush()
+
+    def flush(self):
+        if self._f is not None:
+            self._f.flush()
+
+    def close(self):
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+        if self._tb is not None:
+            self._tb.close()

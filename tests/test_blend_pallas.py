@@ -42,6 +42,10 @@ def test_pallas_forward_matches_ref(rng):
             == np.asarray(out_r["color_index_map"])).all()
     np.testing.assert_allclose(np.asarray(out_p["depth_hit_weight"]),
                                np.asarray(out_r["depth_hit_weight"]), atol=1e-5)
+    # per-gaussian touched-pixel counts (to_prune input) must agree exactly
+    assert (np.asarray(out_p["n_touched"])
+            == np.asarray(out_r["n_touched"])).all()
+    assert int(np.asarray(out_r["n_touched"]).sum()) > 0
 
 
 def test_pallas_forward_with_tile_mask(rng):

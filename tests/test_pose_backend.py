@@ -1,0 +1,84 @@
+"""Native feature pose backend: known-shift recovery + fusion fallbacks."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+RUNTIME = os.path.join(os.path.dirname(__file__), "..", "runtime")
+
+
+def _ensure_lib():
+    so = os.path.join(RUNTIME, "liborb_backend.so")
+    if not os.path.exists(so):
+        subprocess.run(["make", "-C", RUNTIME, "liborb_backend.so"],
+                       check=True, capture_output=True)
+    return so
+
+
+class FakeFrame:
+    def __init__(self, image, depth, K):
+        self.image = image
+        self.depth = depth
+        self.K = K
+
+
+def _textured_pair(shift_px=5, W=320, H=240, z=2.0, fx=160.0):
+    """Fronto-parallel textured plane; camera translates +x so the image
+    shifts left by exactly `shift_px` (t_rel = [tx, 0, 0], R = I)."""
+    rng = np.random.default_rng(3)
+    big = rng.uniform(0, 1, (H, W + shift_px, 3)).astype(np.float32)
+    # blotchy texture (box blur) so corners are stable under BRIEF
+    for _ in range(2):
+        big = 0.25 * (np.roll(big, 1, 0) + np.roll(big, -1, 0)
+                      + np.roll(big, 1, 1) + np.roll(big, -1, 1))
+    big = 0.5 * big + 0.5 * (big > big.mean())  # boost contrast
+    img0 = big[:, :W]
+    img1 = big[:, shift_px:W + shift_px]
+    depth = np.full((H, W), z, np.float32)
+    K = np.array([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1]], np.float32)
+    tx = shift_px * z / fx
+    return (FakeFrame(img0, depth, K), FakeFrame(img1, depth, K), tx)
+
+
+def test_known_translation_recovered():
+    _ensure_lib()
+    from dqo_map_tpu.slam.pose_backend import PoseBackend
+
+    class Args:
+        orb_useicp = True
+        orb_max_feats = 800
+
+    f0, f1, tx = _textured_pair()
+    be = PoseBackend(Args())
+    assert be.ingest(f0) == -1
+    n = be.ingest(f1)
+    assert n >= be.MIN_INLIERS, f"too few inliers: {n}"
+    rel = be.rel
+    assert np.allclose(rel[:3, :3], np.eye(3), atol=0.02), rel
+    assert abs(rel[0, 3] - tx) < 0.01, (rel[0, 3], tx)
+    assert abs(rel[1, 3]) < 0.01 and abs(rel[2, 3]) < 0.02, rel[:3, 3]
+
+
+def test_fusion_falls_back_to_icp():
+    _ensure_lib()
+    from dqo_map_tpu.slam.pose_backend import PoseBackend
+
+    class Args:
+        orb_useicp = True
+
+    be = PoseBackend(Args())
+    # featureless frames -> no inliers -> fall back to the ICP pose
+    blank = FakeFrame(np.zeros((120, 160, 3), np.float32),
+                      np.full((120, 160), 2.0, np.float32),
+                      np.array([[80, 0, 80], [0, 80, 60], [0, 0, 1.0]]))
+    be.ingest(blank)
+    be.poses.append(np.eye(4))
+    icp_rel = np.eye(4)
+    icp_rel[0, 3] = 0.05
+    pose = be.track(blank, icp_rel, icp_success=True)
+    assert np.allclose(pose, icp_rel)
+    # ICP also failed -> constant velocity (identity rel)
+    pose2 = be.track(blank, icp_rel, icp_success=False)
+    assert np.allclose(pose2, pose)
