@@ -16,7 +16,7 @@ def _write_rgbd(rgb_path, depth_path, seed, W=32, H=24, depth_scale=5000.0):
     Image.fromarray(rgb).save(rgb_path)
     depth_m = rng.uniform(0.5, 3.0, (H, W)).astype(np.float64)
     d16 = (depth_m * depth_scale).astype(np.uint16)
-    Image.fromarray(d16, mode="I;16").save(depth_path)
+    Image.fromarray(d16).save(depth_path)
     return rgb, d16.astype(np.float32) / depth_scale
 
 
