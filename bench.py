@@ -1,16 +1,23 @@
-"""Benchmark: tracking+mapping throughput on a synthetic Replica-class scene.
+"""Benchmark: tracking+mapping throughput at Replica-office0 scale.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The workload mirrors the reference's Replica office0 configuration shape
-(`configs/replica_base.yaml`): VGA-class frames, gaussian_update_frame=4,
-full tracker (ICP disabled in favor of gt poses to isolate mapping
-throughput, matching the reference's `fps = 1/mean mapping time` definition,
-`utils/monitor.py:46-50`). The baseline is the 30 FPS north star from
-BASELINE.json.
+Workload mirrors the reference's Replica office0 configuration
+(`/root/reference/configs/replica_base.yaml:10-27`): 1200x680 frames,
+40,800 uniform samples/frame, optimize every 6th frame x 50 iters,
+5-frame memory window, 3 global keyframes. The FULL tracker runs
+(`use_gt_pose=False` -> the ICP pyramid estimates every pose); fps counts
+tracker+mapper wall time per frame, and the baseline is the 30 FPS north
+star from BASELINE.json.
 
-Env knobs: BENCH_FRAMES, BENCH_W, BENCH_H, BENCH_WARMUP.
+Reported to stderr per frame: total ms; at the end: p50/p95/max frame time
+post-warmup, tracker/mapper split, PSNR / depth-L1, and ATE. Any
+post-warmup frame above BENCH_SPIKE_MS (default 1500) counts as a
+recompile spike and is reported loudly in the JSON (`spike_frames`).
+
+Env knobs: BENCH_FRAMES, BENCH_W, BENCH_H, BENCH_WARMUP, BENCH_SAMPLES,
+BENCH_BUCKET, BENCH_SPIKE_MS.
 """
 
 import json
@@ -20,14 +27,16 @@ import time
 
 
 def main():
-    # warmup must outlast every compile trigger: the render-bucket ladder
-    # plateaus (~frame 10 at this scale) and the keyframe count reaches
-    # global_keyframe_num (frame 12 with update_frame=4, cap 3) — after that
-    # all step shapes are cached and frames measure pure execution.
-    frames = int(os.environ.get("BENCH_FRAMES", 28))
-    W = int(os.environ.get("BENCH_W", 640))
-    H = int(os.environ.get("BENCH_H", 480))
-    warmup = int(os.environ.get("BENCH_WARMUP", 16))
+    # warmup must outlast every compile trigger: frame batches are padded to
+    # static shapes and the render bucket starts at its plateau
+    # (BENCH_BUCKET), so compiles happen in the first few optimize cadences.
+    frames = int(os.environ.get("BENCH_FRAMES", 30))
+    W = int(os.environ.get("BENCH_W", 1200))
+    H = int(os.environ.get("BENCH_H", 680))
+    warmup = int(os.environ.get("BENCH_WARMUP", 14))
+    samples = int(os.environ.get("BENCH_SAMPLES", 40800))
+    bucket = int(os.environ.get("BENCH_BUCKET", 1 << 18))
+    spike_ms = float(os.environ.get("BENCH_SPIKE_MS", 1500.0))
 
     from dqo_map_tpu.config import default_config
     from dqo_map_tpu.data.synthetic import synthetic_sequence
@@ -36,9 +45,9 @@ def main():
     cfg = default_config(
         type="Synthetic", save_path="/tmp/bench_out", use_object=True,
         use_gt_pose=False, icp_use_model_depth=False,
-        capacity=131072, add_capacity=16384,
-        uniform_sample_num=12000, gaussian_update_frame=4,
-        gaussian_update_iter=30, stable_confidence_thres=20,
+        capacity=1 << 19, add_capacity=16384, initial_bucket=bucket,
+        uniform_sample_num=samples, gaussian_update_frame=6,
+        gaussian_update_iter=50, stable_confidence_thres=20,
         global_keyframe_num=3,
         min_depth=0.1, max_depth=8.0, memory_length=5, save_step=10**9,
     )
@@ -46,31 +55,52 @@ def main():
                                  with_detections=True)
     system = SLAMSystem(cfg, cameras=cams)
 
-    times = []
+    times, tr_times, mp_times = [], [], []
     for frame_id in range(frames):
         info = system.step(cams[frame_id], frame_id)
         system.mapping.time += 1
+        total = info["tracker_s"] + info["mapper_s"]
         if frame_id >= warmup:
-            times.append(info["tracker_s"] + info["mapper_s"])
-        print(f"# frame {frame_id}: {1000*(info['tracker_s']+info['mapper_s']):.1f} ms",
-              file=sys.stderr)
+            times.append(total)
+            tr_times.append(info["tracker_s"])
+            mp_times.append(info["mapper_s"])
+        print(f"# frame {frame_id}: {1000*total:.1f} ms "
+              f"(tracker {1000*info['tracker_s']:.1f})", file=sys.stderr)
 
-    # median over post-warmup frames: robust to any residual compile spike
-    times.sort()
-    mean_s = times[len(times) // 2]
+    times_sorted = sorted(times)
+    n = len(times_sorted)
+    p50 = times_sorted[n // 2]
+    p95 = times_sorted[min(n - 1, int(n * 0.95))]
+    tmax = times_sorted[-1]
+    spikes = sum(1 for t in times if t * 1000 > spike_ms)
+    mean_s = sum(times) / n
     fps = 1.0 / mean_s
 
     from dqo_map_tpu.eval.evaluate import eval_frame
     m = eval_frame(system.mapping, cams[frames - 1], min_depth=0.1,
                    max_depth=8.0)
-    print(f"# psnr={m['psnr']:.2f} depth_l1={m['depth_l1_cm']:.2f}cm",
-          file=sys.stderr)
+    ate = system.tracker.eval_ate_series()
+    print(f"# psnr={m['psnr']:.2f} depth_l1={m['depth_l1_cm']:.2f}cm "
+          f"ate={ate:.2f}cm", file=sys.stderr)
+    print(f"# p50={1000*p50:.1f} p95={1000*p95:.1f} max={1000*tmax:.1f} ms"
+          f"  tracker mean={1000*sum(tr_times)/n:.1f} "
+          f"mapper mean={1000*sum(mp_times)/n:.1f}", file=sys.stderr)
 
     print(json.dumps({
-        "metric": f"tracking+mapping FPS (synthetic {W}x{H}, steady-state)",
+        "metric": f"tracking+mapping FPS (synthetic office0-scale {W}x{H}, "
+                  f"{samples} samples, full ICP, mean post-warmup)",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 4),
+        "p50_ms": round(1000 * p50, 1),
+        "p95_ms": round(1000 * p95, 1),
+        "max_ms": round(1000 * tmax, 1),
+        "tracker_ms": round(1000 * sum(tr_times) / n, 1),
+        "mapper_ms": round(1000 * sum(mp_times) / n, 1),
+        "psnr": round(float(m["psnr"]), 2),
+        "depth_l1_cm": round(float(m["depth_l1_cm"]), 2),
+        "ate_cm": round(float(ate), 3),
+        "spike_frames": spikes,
     }))
 
 

@@ -86,6 +86,9 @@ class MapParams:
     # capacity (TPU-specific: fixed-shape arrays; grow-by-doubling on overflow)
     capacity: int = 1 << 19
     add_capacity: int = 1 << 16      # max gaussians added per frame
+    initial_bucket: int = 4096       # render-bucket ladder start (recompiles
+                                     # happen at each 4x rung; set to the
+                                     # expected plateau to compile once)
 
     # map preprocess
     min_depth: float = 0.3

@@ -38,6 +38,7 @@ class Binning(NamedTuple):
     tile_offsets: jnp.ndarray  # (T+1,) int32, ALIGNED starts into point_list
     block_tile: jnp.ndarray    # (entry_cap/align,) int32 tile per block (-1 unused)
     num_entries: jnp.ndarray   # () int32 valid entries kept
+    num_blocks: jnp.ndarray    # () int32 align-sized blocks actually used
     dropped: jnp.ndarray       # () int32 entries lost to caps
 
 
@@ -146,5 +147,6 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int, tile_size: int,
     return Binning(
         point_list=point_list, entry_tile=entry_tile, entry_valid=valid,
         tile_offsets=poffs, block_tile=block_tile,
-        num_entries=num_entries, dropped=dropped,
+        num_entries=num_entries, num_blocks=poffs[num_tiles] // align,
+        dropped=dropped,
     )

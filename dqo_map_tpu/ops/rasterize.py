@@ -8,14 +8,13 @@ Composition (all jittable):
   1. `projection.preprocess`  — differentiable EWA projection (XLA)
   2. `binning.bin_gaussians`  — sort-based tile binning (XLA, stop-grad)
   3. blend                    — Pallas TPU kernel (fast path) or pure-JAX
-                                reference; color/alpha gradients via the
-                                blend, depth/normal gradients via an XLA
-                                recompute from the integer hit-index maps.
-
-The depth recompute mirrors the CUDA backward exactly
-(`backward.cu:997-1065`): the hit index and the plane-vs-opaque branch are
-stop-gradient; the plane intersection is differentiable w.r.t. means3D and
-quaternion, the opaque depth w.r.t. means3D only.
+                                reference. Color/alpha AND hit-depth
+                                gradients flow through the blend itself
+                                (the Pallas custom VJP routes the depth
+                                cotangent to the hit entry analytically,
+                                mirroring `backward.cu:997-1065`; the hit
+                                index and plane-vs-splat branch are
+                                stop-gradient, exactly as in CUDA).
 """
 
 from __future__ import annotations
@@ -27,10 +26,9 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..utils.math3d import quat_to_rotmat_unnormalized
 from . import binning as binning_mod
 from .blend import BlendParams, blend_tiles_ref, gather_entry_feats
-from .projection import Preprocessed, min_scale_axis, pixel_rays, preprocess
+from .projection import Preprocessed, preprocess
 
 
 class RenderSettings(NamedTuple):
@@ -44,6 +42,10 @@ class RenderSettings(NamedTuple):
     tile_size: int = 16
     max_tiles_per_gaussian: int = 16
     entry_cap: int = 1 << 20            # static sorted-entry capacity
+    entries_per_gaussian: int = 6       # tightens entry_cap to P*this (the
+                                        # pack gather + n_touched scatter
+                                        # scale with the STATIC cap; typical
+                                        # duplication is ~3-4 tiles/gaussian)
     max_chunks_per_tile: int = 32       # kernel grid chunk dimension
     sh_degree: int = 3
     scale_modifier: float = 1.0
@@ -73,40 +75,16 @@ def _resolve_impl(impl: str) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "ref"
 
 
-def _recompute_depth(depth_index_map, means3d, rots, scales, w2c, ray,
-                     settings: RenderSettings):
-    """Differentiable depth from the (stop-grad) hit index map."""
-    hit = depth_index_map >= 0
-    g = jnp.clip(depth_index_map, 0)
-    m = means3d[g]                                            # (H,W,3)
-    mean_c = m @ w2c[:3, :3].T + w2c[:3, 3]
-    # per-pixel normal: R(q) column of min scale, rotated into camera frame
-    q = rots[g]
-    R = quat_to_rotmat_unnormalized(q)
-    axis_idx = jax.lax.stop_gradient(jnp.argmin(scales[g], axis=-1))
-    n_w = jnp.take_along_axis(R, axis_idx[..., None, None], axis=-1)[..., 0]
-    n_c = n_w @ w2c[:3, :3].T
-    ndm = jnp.sum(n_c * mean_c, axis=-1)
-    ndr = jnp.sum(n_c * ray, axis=-1)
-    t = ndm / (ndr + 1e-8)
-    hit_z = t * ray[..., 2]
-    smax = jax.lax.stop_gradient(jnp.max(scales[g], axis=-1)) * settings.scale_modifier
-    plane_ok = jax.lax.stop_gradient(
-        (jnp.abs(hit_z - mean_c[..., 2]) <= smax * settings.depth_threshold)
-        & (jnp.abs(ndr) >= settings.normal_threshold_cos)
-    )
-    d = jnp.where(plane_ok, hit_z, mean_c[..., 2])
-    return jnp.where(hit, d, 0.0)
-
-
-@partial(jax.jit, static_argnames=("settings", "with_normal"))
+@partial(jax.jit, static_argnames=("settings", "with_normal",
+                                   "with_n_touched"))
 def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
               opacities: jnp.ndarray, colors: jnp.ndarray, cam: dict,
               settings: RenderSettings,
               tile_mask: Optional[jnp.ndarray] = None,
               normal_w: Optional[jnp.ndarray] = None,
               valid_mask: Optional[jnp.ndarray] = None,
-              with_normal: bool = True) -> dict:
+              with_normal: bool = True,
+              with_n_touched: bool = True) -> dict:
     """Render a view.
 
     means3d (P,3); scales (P,3) ACTIVATED (exp applied); rots (P,4) normalized
@@ -114,6 +92,12 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
     with `eval_colors` first when using SH); normal_w (P,3) world normals for
     the normal map scatter; valid_mask (P,) excludes dead slots.
     Returns dict of (H,W[,C]) maps + per-gaussian n_touched (P,).
+
+    with_n_touched=False skips the entries->gaussian scatter-add (~10 ms at
+    1M entry cap — only the USE_PURNE path consumes it). `depth` is
+    differentiable on both impls: the Pallas kernel routes the depth
+    cotangent to the hit entry analytically, the ref blend differentiates
+    its own hit-depth math.
     """
     H, W = settings.height, settings.width
     pre = preprocess(means3d, scales, rots, cam, settings.color_sigma, W, H,
@@ -125,9 +109,12 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
     from .blend_pallas import CHUNK
     TH0, TW0 = binning_mod.tile_grid_size(W, H, settings.tile_size)
     P_stat = means3d.shape[0]
-    # worst case including per-tile alignment padding
+    # worst case including per-tile alignment padding, tightened by the
+    # expected duplication factor (over-cap entries are dropped + counted)
     worst = P_stat * settings.max_tiles_per_gaussian + TH0 * TW0 * CHUNK
-    entry_cap = min(settings.entry_cap, ((worst + CHUNK - 1) // CHUNK) * CHUNK)
+    budget = P_stat * settings.entries_per_gaussian + TH0 * TW0 * CHUNK
+    entry_cap = min(settings.entry_cap, worst, budget)
+    entry_cap = ((entry_cap + CHUNK - 1) // CHUNK) * CHUNK
     max_chunks = max(1, min(settings.max_chunks_per_tile, entry_cap // CHUNK))
     b = binning_mod.bin_gaussians(
         pre, W, H, settings.tile_size, settings.max_tiles_per_gaussian,
@@ -163,19 +150,15 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
             cam["K"], params, bg,
         )
 
-    # n_touched per gaussian (segment sum over entries)
+    # n_touched per gaussian (segment sum over entries) — the scatter-add is
+    # expensive on TPU, so it's gated (only USE_PURNE-style pruning reads it)
     P = means3d.shape[0]
-    n_touched = jnp.zeros((P,), jnp.int32).at[b.point_list].add(
-        jnp.where(entry_valid, out.pop("n_touched_entries"), 0).astype(jnp.int32)
-    )
-    out["n_touched"] = n_touched
-
-    # differentiable depth from the hit index map
-    ray = pixel_rays(H, W, cam["K"])
-    out["depth"] = _recompute_depth(
-        jax.lax.stop_gradient(out["depth_index_map"]), means3d, rots, scales,
-        cam["w2c"], ray, settings,
-    )
+    nte = out.pop("n_touched_entries")
+    if with_n_touched:
+        out["n_touched"] = jnp.zeros((P,), jnp.int32).at[b.point_list].add(
+            jnp.where(entry_valid, nte, 0).astype(jnp.int32))
+    else:
+        out["n_touched"] = jnp.zeros((P,), jnp.int32)
 
     # normal map scatter (ref `SLAM/render.py:211-214`)
     if with_normal and normal_w is not None:

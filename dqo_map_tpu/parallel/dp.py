@@ -36,8 +36,17 @@ from ..slam.renderer import render_state
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+    """Mesh over the first `n_devices` devices, clipped to what exists.
+
+    Single real-TPU sessions get a 1-device mesh (the shard_map paths still
+    compile and run); multi-device validation uses the virtual CPU platform
+    (tests/conftest.py, `__graft_entry__._force_virtual_devices`)."""
     devs = jax.devices()
     n = n_devices or len(devs)
+    if n > len(devs):
+        print(f"[parallel] requested {n} devices but only {len(devs)} "
+              f"available; shrinking mesh")
+        n = len(devs)
     return Mesh(np.asarray(devs[:n]).reshape(n), (axis,))
 
 

@@ -329,27 +329,31 @@ def densify_step(state: MapState, frame_map: dict, cam: dict,
     new["valid"] = new["valid"] & (~covered)
 
     # temp_points_attach (ref mapper.py:1384-1435): points landing on a
-    # stable surface get low opacity
-    stable_out = render_state(state, cam, settings, "stable", bucket=bucket)
-    uv_h = im.transform_map(new["xyz"][None], cam["w2c"])[0]
-    uu = uv_h[:, 0] / jnp.where(uv_h[:, 2] == 0, 1e-8, uv_h[:, 2])
-    vv = uv_h[:, 1] / jnp.where(uv_h[:, 2] == 0, 1e-8, uv_h[:, 2])
-    K = cam["K"]
-    px = (uu * K[0, 0] + K[0, 2]).astype(jnp.int32)
-    py = (vv * K[1, 1] + K[1, 2]).astype(jnp.int32)
-    inview = (px >= 0) & (px < W) & (py >= 0) & (py < H)
-    pxc = jnp.clip(px, 0, W - 1)
-    pyc = jnp.clip(py, 0, H - 1)
-    sidx = stable_out["color_index_map"][pyc, pxc]
-    on_stable = inview & (sidx >= 0)
-    sid = jnp.clip(sidx, 0)
-    p2p = jnp.sum(
-        (state.xyz[sid] - new["xyz"]) * state.get_normal()[sid], axis=-1)
-    attach = on_stable & (jnp.abs(p2p) < 0.5 * add_depth_thres) & (
-        state.num_stable() > 0)
-    import math
-    low_op = math.log(0.1 / 0.9)
-    new["opacity"] = jnp.where(attach, low_op, new["opacity"])
+    # stable surface get low opacity. The reference renders the stable cloud
+    # for this; we reuse the model render's hit map filtered to
+    # stable-status gaussians — one full render less per frame (a stable
+    # surface transiently occluded by an unstable gaussian is missed, which
+    # only delays the opacity cut by a frame).
+    if model_map is not None:
+        uv_h = im.transform_map(new["xyz"][None], cam["w2c"])[0]
+        uu = uv_h[:, 0] / jnp.where(uv_h[:, 2] == 0, 1e-8, uv_h[:, 2])
+        vv = uv_h[:, 1] / jnp.where(uv_h[:, 2] == 0, 1e-8, uv_h[:, 2])
+        K = cam["K"]
+        px = (uu * K[0, 0] + K[0, 2]).astype(jnp.int32)
+        py = (vv * K[1, 1] + K[1, 2]).astype(jnp.int32)
+        inview = (px >= 0) & (px < W) & (py >= 0) & (py < H)
+        pxc = jnp.clip(px, 0, W - 1)
+        pyc = jnp.clip(py, 0, H - 1)
+        sidx = model_map["color_index_map"][pyc, pxc]
+        sid = jnp.clip(sidx, 0)
+        on_stable = inview & (sidx >= 0) & (state.status[sid] == gm.STABLE)
+        p2p = jnp.sum(
+            (state.xyz[sid] - new["xyz"]) * state.get_normal()[sid], axis=-1)
+        attach = on_stable & (jnp.abs(p2p) < 0.5 * add_depth_thres) & (
+            state.num_stable() > 0)
+        import math
+        low_op = math.log(0.1 / 0.9)
+        new["opacity"] = jnp.where(attach, low_op, new["opacity"])
 
     # update_geometry scale init (ref gaussian_pointcloud.py:519-570):
     # KNN against new points + existing alive gaussians (bucket-compacted)
@@ -429,6 +433,16 @@ def error_remove_step(state: MapState, frame_map: dict, cam: dict,
                       time, bucket: int = None):
     """(ref `error_gaussians_remove`, mapper.py:989-1102)."""
     out = render_state(state, cam, settings, "global", bucket=bucket)
+    return error_remove_from(state, out, frame_map, add_color_thres,
+                             add_depth_thres, add_normal_thres, time)
+
+
+@jax.jit
+def error_remove_from(state: MapState, out: dict, frame_map: dict,
+                      add_color_thres: float, add_depth_thres: float,
+                      add_normal_thres: float, time):
+    """`error_gaussians_remove` body on a PRECOMPUTED render `out` (the
+    end-of-frame model render is reused instead of rendering again)."""
     depth_error = jnp.abs(frame_map["depth_map"] - out["depth"])
     depth_error = jnp.where(
         (frame_map["depth_map"] - out["depth"]) < 0, 0.0, depth_error)
@@ -490,6 +504,28 @@ def render_range_step(state: MapState, cam: dict, settings: RenderSettings,
 # host-side Mapping orchestrator
 # ---------------------------------------------------------------------------
 
+_PROFILE = bool(os.environ.get("DQO_PROFILE"))
+
+
+def _pr(tag, t0, out=None):
+    """DQO_PROFILE=1 stage timing: sync + print. No-op otherwise."""
+    if not _PROFILE:
+        return
+    import sys
+    import time as _t
+    if out is not None:
+        jax.block_until_ready(out)
+    print(f"#   {tag}: {(_t.perf_counter() - t0) * 1000:.1f} ms",
+          file=sys.stderr)
+
+
+def _now():
+    if not _PROFILE:
+        return 0.0
+    import time as _t
+    return _t.perf_counter()
+
+
 class Mapping:
     def __init__(self, cfg: Config, width: int, height: int, recorder=None):
         args = cfg.map
@@ -514,7 +550,14 @@ class Mapping:
 
         self.model_map: Optional[dict] = None
         self._cached_counts = None
-        self.bucket = 4096           # render bucket (power of two >= alive)
+        # render bucket (power-of-4 ladder >= alive count); starting at the
+        # expected plateau avoids mid-run recompiles of every jitted step
+        self.bucket = min(int(getattr(args, "initial_bucket", 4096) or 4096),
+                          args.capacity)
+        # separate (smaller) ladder for unstable-subset renders: the local
+        # optimize scan touches only the unstable cloud (~5-30k), so its
+        # static costs (sort, pack gathers, preprocess) shrink accordingly
+        self.bucket_unstable = min(4096, args.capacity)
         self.key = jax.random.key(2024)
         self.last_reports: dict = {}
         self.save_path = args.save_path
@@ -551,15 +594,17 @@ class Mapping:
     # --------------------------------------------------------------
     def get_render_output(self, cam_inputs: dict) -> dict:
         out = self._render_global(self.state, cam_inputs, self.settings,
-                                  self.bucket)
+                                  self.bucket,
+                                  bool(getattr(self.args, "use_prune", False)))
         self.model_map = out
         return out
 
     @staticmethod
-    @partial(jax.jit, static_argnames=("settings", "bucket"))
-    def _render_global(state, cam_inputs, settings, bucket):
+    @partial(jax.jit, static_argnames=("settings", "bucket", "with_n_touched"))
+    def _render_global(state, cam_inputs, settings, bucket,
+                       with_n_touched=False):
         return render_state(state, cam_inputs, settings, "global",
-                            bucket=bucket)
+                            bucket=bucket, with_n_touched=with_n_touched)
 
     @staticmethod
     @jax.jit
@@ -574,15 +619,23 @@ class Mapping:
             self._cached_counts = (int(u), int(st))
         return self._cached_counts
 
+    @staticmethod
+    def _rung(want: int) -> int:
+        b = 4096
+        while b < want:
+            b *= 4
+        return b
+
     def _update_bucket(self):
         # 4x growth steps: each bucket change recompiles the big jitted
         # steps, so keep the ladder short (4096, 16k, 64k, 256k, cap)
         u, st = self.counts()
-        want = max(4096, int((u + st) * 1.3))
-        b = 4096
-        while b < want:
-            b *= 4
-        self.bucket = max(self.bucket, min(b, self.state.capacity))  # no shrink
+        cap = self.state.capacity
+        self.bucket = max(self.bucket,
+                          min(self._rung(int((u + st) * 1.3)), cap))
+        self.bucket_unstable = max(
+            self.bucket_unstable,
+            min(self._rung(int(u * 1.3)), self.bucket, cap))
 
     def gaussians_add(self, frame: Camera, frame_map: dict, frame_id: int):
         cam = frame.render_inputs()
@@ -674,18 +727,27 @@ class Mapping:
     def local_optimize(self, frame: Camera):
         """(ref `Mapping.local_optimize`, mapper.py:531-605)."""
         ts = self.settings.tile_size
+        t0 = _now()
         entries = []
         for cam, fm in self.processed_frames:
             rm, tm = render_range_step(self.state, cam, self.settings, False,
-                                       -1.0, None, ts, bucket=self.bucket)
+                                       -1.0, None, ts,
+                                       bucket=self.bucket_unstable)
             entries.append({
                 "color": fm["color_map"], "depth": fm["depth_map"],
                 "normal": fm["normal_map_w"], "render_mask": rm,
                 "tile_mask": tm, "cam": cam,
             })
+        _pr("local/range_renders", t0, [e["tile_mask"] for e in entries])
+        t0 = _now()
+        n_real = len(entries)
+        # pad the stacked frame batch to a STATIC memory_length so
+        # optimize_scan traces once; rand_idx never selects pad slots
+        while len(entries) < self.memory_length:
+            entries.append(entries[-1])
         frames = self._stack_frames(entries, ts)
         iters = self.args.gaussian_update_iter
-        rand_idx = self._rand_schedule(iters, len(entries))
+        rand_idx = self._rand_schedule(iters, n_real)
         confidence_pre = self.state.confidence
         history = {
             "xyz": self.state.xyz, "sh": self.state.sh,
@@ -693,14 +755,21 @@ class Mapping:
             "rotation_act": self.state.get_rotation(),
         }
         opt_mask = self.state.unstable_mask()
+        # NOTE: the optimize render is the GLOBAL subset (unstable gaussians
+        # must blend against the stable background, ref mapper.py:584), so
+        # it uses the global bucket; only the unstable-only range renders
+        # above use the small ladder.
         self.state, reports = optimize_scan(
             self.state, frames, rand_idx, self._lrs(), self._weights(),
             self.settings, iters, gm.UNSTABLE, self.args.add_depth_thres,
             bucket=self.bucket,
         )
+        _pr(f"local/optimize_scan x{iters}", t0, self.state.xyz)
+        t0 = _now()
         self.state = history_merge(
             self.state, history, confidence_pre, opt_mask,
             self.args.history_merge_max_weight)
+        _pr("local/history_merge", t0, self.state.xyz)
         self.last_reports = {k: float(v[-1]) for k, v in reports.items()}
         self.logger.log_dict(self.time, self.last_reports, "local/")
 
@@ -730,6 +799,11 @@ class Mapping:
                 "normal": jnp.asarray(keymap["normal"]), "render_mask": rm,
                 "tile_mask": None if is_final else tm, "cam": cam,
             })
+        # static keyframe-batch width for the steady-state path (the final
+        # whole-history pass compiles once at end of run, dynamic is fine)
+        if not is_final:
+            while len(entries) < select_keyframe_num:
+                entries.append(entries[-1])
         frames = self._stack_frames(entries, ts)
 
         if is_final:
@@ -758,8 +832,13 @@ class Mapping:
 
     # --------------------------------------------------------------
     def mapping(self, frame: Camera, frame_map: dict, frame_id: int,
-                object_layer=None):
-        """Per-frame mapping step (ref `Mapping.mapping`, mapper.py:135-246)."""
+                object_layer=None, defer_finalize: bool = False):
+        """Per-frame mapping step (ref `Mapping.mapping`, mapper.py:135-246).
+
+        defer_finalize=True skips the promote/error-remove/delete tail;
+        the caller must then invoke `finalize_frame(out, frame_map)` with the
+        end-of-frame model render — merging the error render into the render
+        the system does anyway (one less full render per frame)."""
         self._cached_counts = None
         if object_layer is not None:
             if frame.detections is not None:
@@ -767,7 +846,9 @@ class Mapping:
             # bind this frame's new gaussians to matched objects
             frame_map["obj_id_map"] = jnp.asarray(
                 object_layer.obj_id_image(frame.width, frame.height))
+        t0 = _now()
         self.gaussians_add(frame, frame_map, frame_id)
+        _pr("gaussians_add", t0, self.state.xyz)
         cam = frame.render_inputs()
         self.processed_frames.append((cam, frame_map))
         if len(self.processed_frames) > self.memory_length:
@@ -780,27 +861,52 @@ class Mapping:
             if not is_keyframe or self.counts()[1] <= 0:
                 self.local_optimize(frame)
             else:
+                t0 = _now()
                 self.global_optimization(self.args.global_keyframe_num)
+                _pr("global_optimization", t0, self.state.xyz)
             if object_layer is not None and (is_keyframe or frame_id == 0):
                 object_layer.optimize_objects(frame, frame_id)
             self.state = gaussians_delete(
                 self.state, jnp.int32(self.time),
                 self.args.unstable_time_window, unstable=False)
 
-        self.state = gaussians_fix(self.state, self.args.stable_confidence_thres)
+        if not defer_finalize:
+            t0 = _now()
+            self.state = gaussians_fix(self.state,
+                                       self.args.stable_confidence_thres)
+            self._cached_counts = None
+            if self.processed_frames and self.counts()[1] > 0:
+                last_cam, last_fm = self.processed_frames[-1]
+                self.state = error_remove_step(
+                    self.state, last_fm, last_cam, self.settings,
+                    self.args.add_color_thres, self.args.add_depth_thres,
+                    self.args.add_normal_thres, jnp.int32(self.time),
+                    bucket=self.bucket)
+            self.state = gaussians_delete(
+                self.state, jnp.int32(self.time),
+                self.args.unstable_time_window, unstable=True)
+            _pr("fix+error_remove+delete", t0, self.state.xyz)
+            self._update_bucket()
+        return is_keyframe
+
+    def finalize_frame(self, out: dict, frame_map: dict):
+        """Promote / error-remove / delete tail on the end-of-frame render
+        `out` (same pose + gaussian set the error render used before —
+        status flips from the promote don't change the 'global' render)."""
+        t0 = _now()
+        self.state = gaussians_fix(self.state,
+                                   self.args.stable_confidence_thres)
         self._cached_counts = None
-        if self.processed_frames and self.counts()[1] > 0:
-            last_cam, last_fm = self.processed_frames[-1]
-            self.state = error_remove_step(
-                self.state, last_fm, last_cam, self.settings,
-                self.args.add_color_thres, self.args.add_depth_thres,
-                self.args.add_normal_thres, jnp.int32(self.time),
-                bucket=self.bucket)
+        if self.counts()[1] > 0:
+            self.state = error_remove_from(
+                self.state, out, frame_map, self.args.add_color_thres,
+                self.args.add_depth_thres, self.args.add_normal_thres,
+                jnp.int32(self.time))
         self.state = gaussians_delete(
             self.state, jnp.int32(self.time), self.args.unstable_time_window,
             unstable=True)
+        _pr("finalize(fix+err+del)", t0, self.state.xyz)
         self._update_bucket()
-        return is_keyframe
 
     # --------------------------------------------------------------
     def save_model(self, path: Optional[str] = None):

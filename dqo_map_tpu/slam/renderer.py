@@ -113,7 +113,14 @@ def render_state(state: MapState, cam_inputs: dict, settings: RenderSettings,
                  subset: str = "global",
                  tile_mask: Optional[jnp.ndarray] = None,
                  colors_precomp: Optional[jnp.ndarray] = None,
-                 bucket: Optional[int] = None) -> dict:
+                 bucket: Optional[int] = None,
+                 with_n_touched: bool = False) -> dict:
+    """Render a MapState subset.
+
+    with_n_touched defaults OFF (the entries->gaussian scatter costs ~10 ms
+    at full cap and only the USE_PURNE prune path reads it). Depth is always
+    differentiable — the Pallas VJP routes the depth cotangent in-kernel.
+    """
     valid = subset_mask(state, subset)
     cap = state.capacity
     if bucket is not None and bucket < cap:
@@ -143,15 +150,18 @@ def render_state(state: MapState, cam_inputs: dict, settings: RenderSettings,
         out = rasterize(
             xyz, scaling, rotation, opac, colors, cam_inputs, settings,
             tile_mask=tile_mask, normal_w=sub.get_normal(),
-            valid_mask=in_bucket,
+            valid_mask=in_bucket, with_n_touched=with_n_touched,
         )
         # translate index maps + n_touched back to global slot ids
         for key in ("depth_index_map", "color_index_map"):
             m = out[key]
             out[key] = jnp.where(m >= 0, idx[jnp.clip(m, 0)].astype(jnp.int32),
                                  -1)
-        out["n_touched"] = jnp.zeros(cap + 1, jnp.int32).at[idx].add(
-            out["n_touched"], mode="drop")[:cap]
+        if with_n_touched:
+            out["n_touched"] = jnp.zeros(cap + 1, jnp.int32).at[idx].add(
+                out["n_touched"], mode="drop")[:cap]
+        else:
+            out["n_touched"] = jnp.zeros(cap, jnp.int32)
         out["bucket_overflow"] = jnp.sum(valid) > bucket
         return out
 
@@ -161,6 +171,7 @@ def render_state(state: MapState, cam_inputs: dict, settings: RenderSettings,
         state.xyz, state.get_scaling(), state.get_rotation(),
         state.get_opacity(), colors, cam_inputs, settings,
         tile_mask=tile_mask, normal_w=state.get_normal(), valid_mask=valid,
+        with_n_touched=with_n_touched,
     )
     out["bucket_overflow"] = jnp.asarray(False)
     return out

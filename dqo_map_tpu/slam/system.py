@@ -66,8 +66,13 @@ class SLAMSystem:
         t1 = time.time()
         self.recorder.update_mean("tracking", t1 - t0)
 
-        self.mapping.mapping(frame, frame_map, frame_id, self.object_layer)
+        self.mapping.mapping(frame, frame_map, frame_id, self.object_layer,
+                             defer_finalize=True)
+        from .mapper import _now, _pr
+        tr = _now()
         out = self.mapping.get_render_output(frame.render_inputs())
+        _pr("get_render_output", tr, out["depth"])
+        self.mapping.finalize_frame(out, frame_map)
         self.tracker.update_last_status(
             frame, out["depth"], frame_map["depth_map"], out["normal"],
             frame_map["normal_map_w"])

@@ -1,0 +1,154 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh (conftest).
+
+Covers the full `parallel/dp.py` surface: the data-parallel keyframe Adam
+step (`dp_optimize_step`, the TPU-native analogue of the reference's
+3-process pipeline, `/root/reference/SLAM/multiprocess/system.py:46-87`) and
+the object-axis-sharded quadric refinement (`shard_objects_refine`).
+Asserts loss finiteness AND replicated-state equality against the same step
+run on a 1-device mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dqo_map_tpu.models import gaussian_map as gm
+from dqo_map_tpu.ops.rasterize import RenderSettings
+from dqo_map_tpu.parallel.dp import (dp_optimize_step, make_mesh,
+                                     shard_objects_refine)
+from dqo_map_tpu.slam.mapper import adam_init, get_params
+
+
+def _proj(W, H, fx):
+    znear, zfar = 0.01, 100.0
+    P = np.zeros((4, 4), np.float32)
+    P[0, 0] = 2 * fx / W
+    P[1, 1] = 2 * fx / H
+    P[3, 2] = 1.0
+    P[2, 2] = zfar / (zfar - znear)
+    P[2, 3] = -(zfar * znear) / (zfar - znear)
+    return P
+
+
+def _scene(F=8, W=32, H=32, P=96):
+    rng = np.random.default_rng(0)
+    state = gm.empty_map(256)
+    xyz = np.stack([rng.uniform(-1, 1, P), rng.uniform(-0.7, 0.7, P),
+                    rng.uniform(1.0, 3.0, P)], -1)
+    new = gm.make_new_points(
+        jnp.asarray(xyz, jnp.float32),
+        jnp.asarray(rng.normal(size=(P, 3)), jnp.float32),
+        jnp.asarray(rng.uniform(0, 1, (P, 3)), jnp.float32),
+        jnp.ones(P, bool), jnp.int32(0), jnp.int32(0), 0.99, (1.0, 1.0, 0.1))
+    new["scaling"] = jnp.full((P, 3), np.log(0.05), jnp.float32)
+    state = gm.add_points(state, new, gm.STABLE)
+
+    fx = 0.75 * W
+    frames = {
+        "color": jnp.asarray(rng.uniform(0, 1, (F, H, W, 3)), jnp.float32),
+        "depth": jnp.full((F, H, W), 2.0, jnp.float32),
+        "normal": jnp.zeros((F, H, W, 3), jnp.float32).at[..., 2].set(1.0),
+        "render_mask": jnp.ones((F, H, W), bool),
+        "w2c": jnp.broadcast_to(jnp.eye(4), (F, 4, 4)).astype(jnp.float32),
+        "full_proj": jnp.broadcast_to(
+            jnp.asarray(_proj(W, H, fx), jnp.float32), (F, 4, 4)),
+        "cam_pos": jnp.zeros((F, 3), jnp.float32),
+        "K": jnp.asarray([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1]],
+                         jnp.float32),
+        "tan_fovx": jnp.float32(W / (2 * fx)),
+        "tan_fovy": jnp.float32(H / (2 * fx)),
+    }
+    settings = RenderSettings(width=W, height=H, impl="ref")
+    lrs = {"xyz": 1e-3, "sh": 5e-4, "scaling": 4e-3, "rotation": 1e-3,
+           "opacity": 0.0}
+    weights = {"color": 0.8, "depth": 1.0, "normal": 0.0, "ssim": 0.0}
+    return state, frames, settings, lrs, weights
+
+
+def test_dp_optimize_step_8dev_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    state, frames, settings, lrs, weights = _scene(F=8)
+
+    mesh8 = make_mesh(8)
+    opt8 = adam_init(get_params(state))
+    s8, _, loss8 = dp_optimize_step(mesh8, state, frames, opt8, lrs, weights,
+                                    settings, 0.1)
+    jax.block_until_ready(s8.xyz)
+    assert np.isfinite(float(loss8))
+
+    mesh1 = make_mesh(1)
+    opt1 = adam_init(get_params(state))
+    s1, _, loss1 = dp_optimize_step(mesh1, state, frames, opt1, lrs, weights,
+                                    settings, 0.1)
+    jax.block_until_ready(s1.xyz)
+
+    # per-device mean -> pmean == global mean, so the sharded step must equal
+    # the single-device step bit-for-bit up to reduction-order float noise
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s8.xyz), np.asarray(s1.xyz),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s8.sh), np.asarray(s1.sh),
+                               atol=1e-5)
+
+
+def test_dp_optimize_step_iterates_finite():
+    """Repeated sharded steps stay finite and never increase the loss
+    beyond float noise (the toy scene may already sit at a flat optimum,
+    so strict decrease is not asserted — exactness vs the single-device
+    step is covered above)."""
+    state, frames, settings, lrs, weights = _scene(F=8)
+    mesh = make_mesh(8)
+    opt = adam_init(get_params(state))
+    s, opt, loss0 = dp_optimize_step(mesh, state, frames, opt, lrs, weights,
+                                     settings, 0.1)
+    for _ in range(4):
+        s, opt, loss = dp_optimize_step(mesh, s, frames, opt, lrs, weights,
+                                        settings, 0.1)
+    assert np.isfinite(float(loss))
+    assert float(loss) <= float(loss0) * 1.01
+
+
+def test_shard_objects_refine_matches_unsharded():
+    from dqo_map_tpu.models.quadrics import (MAX_OBJECTS, OBS_CAP,
+                                             refine_objects)
+    O = MAX_OBJECTS
+    rng = np.random.default_rng(3)
+    axes = jnp.asarray(rng.uniform(0.1, 0.4, (O, 3)), jnp.float32)
+    R = jnp.broadcast_to(jnp.eye(3), (O, 3, 3)).astype(jnp.float32)
+    center = jnp.asarray(
+        np.concatenate([rng.uniform(-0.5, 0.5, (O, 2)),
+                        rng.uniform(1.5, 2.5, (O, 1))], -1), jnp.float32)
+    obs_bbox = jnp.tile(jnp.asarray([8.0, 8.0, 28.0, 28.0], jnp.float32),
+                        (O, OBS_CAP, 1))
+    fx = 24.0
+    K = np.asarray([[fx, 0, 16.0], [0, fx, 16.0], [0, 0, 1]], np.float32)
+    Pm = K @ np.eye(4)[:3]
+    obs_P = jnp.broadcast_to(jnp.asarray(Pm), (O, OBS_CAP, 3, 4)).astype(
+        jnp.float32)
+    obs_valid = jnp.ones((O, OBS_CAP), bool)
+    opt_mask = jnp.ones((O,), bool)
+    rand_idx = jnp.zeros((6, O), jnp.int32)
+
+    mesh = make_mesh(8)
+    a_s, R_s, c_s = shard_objects_refine(mesh, axes, R, center, obs_bbox,
+                                         obs_P, obs_valid, opt_mask, rand_idx,
+                                         iters=6)
+    jax.block_until_ready(a_s)
+    a_u, R_u, c_u = refine_objects(axes, R, center, obs_bbox, obs_P,
+                                   obs_valid, opt_mask, rand_idx, iters=6)
+    assert np.all(np.isfinite(np.asarray(a_s)))
+    np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_u), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_s), np.asarray(c_u), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(R_s), np.asarray(R_u), atol=1e-5)
+
+
+def test_make_mesh_clips_to_available():
+    mesh = make_mesh(10**6)
+    assert mesh.devices.size == len(jax.devices())
+
+
+def test_dryrun_multichip_entry():
+    """The driver-facing entry itself must pass on the virtual mesh."""
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
