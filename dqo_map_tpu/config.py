@@ -164,6 +164,8 @@ class OptimizationParams:
     use_semantics: bool = False
     use_object: bool = False
     use_instance: bool = False
+    association: str = "iou"     # object association variant: iou|qd|iou_qd
+                                 # (ref ablation eval_obj/results_accociation)
 
 
 @dataclass

@@ -42,10 +42,18 @@ def _relative_poses(poses: List[np.ndarray]) -> List[np.ndarray]:
 
 def read_replica(datapath: str, frame_start=0, frame_num=-1, frame_step=0,
                  json_path: Optional[str] = None, use_object=False,
-                 preload=True):
-    """(ref `readReplicaSceneInfo`, dataset_readers.py:800-882)."""
+                 use_semantics=False, preload=True):
+    """(ref `readReplicaSceneInfo`, dataset_readers.py:800-882).
+
+    use_semantics loads `semantic_colors/semantic_color*.png` per frame
+    (ref dataset_readers.py:820-822,934-944); the semantic color image also
+    serves as the instance/object image, as in the reference
+    (`object_img = semantic_copy`, dataset_readers.py:941-944)."""
     color_paths = sorted(glob.glob(f"{datapath}/results/frame*.jpg"))
     depth_paths = sorted(glob.glob(f"{datapath}/results/depth*.png"))
+    sem_paths = (sorted(glob.glob(
+        f"{datapath}/semantic_colors/semantic_color*.png"))
+        if use_semantics else [])
     n_img = len(color_paths)
     with open(os.path.join(datapath, "../cam_params.json"), "r") as f:
         config = json.load(f)["camera"]
@@ -78,12 +86,80 @@ def read_replica(datapath: str, frame_start=0, frame_num=-1, frame_step=0,
         depth = _load_depth(depth_paths[idx], depth_scale)
         H, W = depth.shape
         img = _load_image(color_paths[idx], (W, H))
+        sem = None
+        if sem_paths and idx < len(sem_paths):
+            sem = _load_image(sem_paths[idx], (W, H))[..., :3]
         cams.append(Camera(
             uid=uid, c2w=poses[idx], fx=fx, fy=fy, cx=cx, cy=cy,
             width=W, height=H, image=img, depth=depth,
             pose_gt=poses[idx].copy(), timestamp=idx / 30.0,
             depth_scale=depth_scale,
             detections=det_frames[idx] if det_frames else None,
+            semantics=sem, instance=sem,
+        ))
+    return cams
+
+
+def read_ours(datapath: str, frame_start=0, frame_num=-1, frame_step=0,
+              eval_=False, crop_edge=0, scannetpp=False, **_):
+    """ScanNet++ / self-captured "ours" layout (ref `readOursSceneInfo`,
+    dataset_readers.py:1040-1145): color/*.jpg + depth/*.png + pose/*.txt
+    (one 4x4 per frame) + intrinsic/intrinsic_depth.txt; optional
+    eval_list.txt subset and *_eval dirs for held-out evaluation."""
+    suffix = "_eval" if eval_ else ""
+    key = lambda x: int(os.path.basename(x).split(".")[0])
+    color_paths = sorted(glob.glob(f"{datapath}/color{suffix}/*.jpg")
+                         + glob.glob(f"{datapath}/color{suffix}/*.png"),
+                         key=key)
+    depth_paths = sorted(glob.glob(f"{datapath}/depth{suffix}/*.png"), key=key)
+    pose_paths = sorted(glob.glob(f"{datapath}/pose{suffix}/*.txt"), key=key)
+    n_img = min(len(color_paths), len(depth_paths), len(pose_paths))
+    poses = [np.loadtxt(pose_paths[i]).reshape(4, 4) for i in range(n_img)]
+
+    if eval_:
+        lst = os.path.join(datapath, "eval_list.txt")
+        if os.path.exists(lst):
+            keep = set(np.loadtxt(lst, dtype=np.int64).reshape(-1).tolist())
+            sel0 = [i for i in range(n_img) if i in keep]
+            color_paths = [color_paths[i] for i in sel0]
+            depth_paths = [depth_paths[i] for i in sel0]
+            poses = [poses[i] for i in sel0]
+            n_img = len(poses)
+        # eval poses are normalized by the TRAIN first frame (ref 1092-1096)
+        train_pose0 = sorted(glob.glob(f"{datapath}/pose/*.txt"), key=key)
+        if train_pose0:
+            inv0 = np.linalg.inv(np.loadtxt(train_pose0[0]).reshape(4, 4))
+            poses = [inv0 @ p for p in poses]
+    else:
+        poses = _relative_poses(poses)
+
+    K = np.loadtxt(os.path.join(datapath, "intrinsic",
+                                "intrinsic_depth.txt"))
+    K = np.atleast_2d(K)[:3, :3]           # 3x3 or 4x4 ScanNet-style file
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+
+    sel = list(range(n_img)) if frame_num == -1 else list(range(frame_num))
+    sel = [frame_start + i * (frame_step + 1) for i in sel
+           if frame_start + i * (frame_step + 1) < n_img]
+    if eval_:
+        sel = list(range(n_img))
+
+    cams = []
+    for uid, s in enumerate(sel):
+        depth = _load_depth(depth_paths[s], 1000.0)
+        H, W = depth.shape
+        img = _load_image(color_paths[s], (W, H))
+        cxs, cys = cx, cy
+        if crop_edge > 0:
+            img = img[crop_edge:-crop_edge, crop_edge:-crop_edge]
+            depth = depth[crop_edge:-crop_edge, crop_edge:-crop_edge]
+            H, W = depth.shape
+            cxs, cys = cx - crop_edge, cy - crop_edge
+        cams.append(Camera(
+            uid=uid, c2w=poses[s], fx=fx, fy=fy, cx=cxs, cy=cys,
+            width=W, height=H, image=img, depth=depth,
+            pose_gt=poses[s].copy(), timestamp=(s + 1) / 30.0,
+            depth_scale=1000.0,
         ))
     return cams
 
@@ -204,6 +280,73 @@ def read_romap(datapath: str, frame_start=0, frame_num=-1, frame_step=0,
     return cams
 
 
+def read_colmap(datapath: str, frame_start=0, frame_num=-1, frame_step=0,
+                **_):
+    """COLMAP layout (ref `readColmapSceneInfo`, dataset_readers.py:201-330):
+    images/ + sparse/0/{cameras,images}.{bin,txt}. No depth — cameras carry
+    depth=None; rendering/eval paths work, the SLAM loop needs RGB-D."""
+    from .colmap import image_c2w, load_colmap_sparse
+    sparse = os.path.join(datapath, "sparse", "0")
+    if not os.path.isdir(sparse):
+        sparse = os.path.join(datapath, "sparse")
+    cams_meta, imgs = load_colmap_sparse(sparse)
+    order = sorted(imgs.keys(), key=lambda i: imgs[i]["name"])
+
+    sel = list(range(len(order))) if frame_num == -1 else list(range(frame_num))
+    sel = [frame_start + i * (frame_step + 1) for i in sel
+           if frame_start + i * (frame_step + 1) < len(order)]
+
+    poses = [image_c2w(imgs[order[s]]) for s in sel]
+    cams = []
+    for uid, (s, c2w) in enumerate(zip(sel, poses)):
+        meta = imgs[order[s]]
+        cm = cams_meta[meta["camera_id"]]
+        img_path = os.path.join(datapath, "images", meta["name"])
+        img = _load_image(img_path) if os.path.exists(img_path) else None
+        H = img.shape[0] if img is not None else cm["height"]
+        W = img.shape[1] if img is not None else cm["width"]
+        sx, sy = W / cm["width"], H / cm["height"]
+        cams.append(Camera(
+            uid=uid, c2w=c2w, fx=cm["fx"] * sx, fy=cm["fy"] * sy,
+            cx=cm["cx"] * sx, cy=cm["cy"] * sy, width=W, height=H,
+            image=img, depth=None, pose_gt=c2w.copy(), timestamp=s / 30.0,
+        ))
+    return cams
+
+
+def read_blender(datapath: str, frame_start=0, frame_num=-1, frame_step=0,
+                 split="train", **_):
+    """Blender/NeRF-synthetic layout (ref `readNerfSyntheticInfo`,
+    dataset_readers.py:332-395): transforms_<split>.json with
+    camera_angle_x + per-frame transform_matrix (OpenGL convention — flip
+    Y/Z to get the OpenCV camera the rasterizer expects)."""
+    meta = json.load(open(os.path.join(datapath, f"transforms_{split}.json")))
+    frames = meta["frames"]
+    sel = list(range(len(frames))) if frame_num == -1 else list(range(frame_num))
+    sel = [frame_start + i * (frame_step + 1) for i in sel
+           if frame_start + i * (frame_step + 1) < len(frames)]
+    cams = []
+    for uid, s in enumerate(sel):
+        fr = frames[s]
+        c2w = np.asarray(fr["transform_matrix"], np.float64)
+        c2w[:3, 1:3] *= -1          # OpenGL -> OpenCV
+        p = fr["file_path"]
+        img_path = os.path.join(datapath, p)
+        if not os.path.splitext(img_path)[1]:
+            img_path += ".png"
+        img = _load_image(img_path) if os.path.exists(img_path) else None
+        if img is not None and img.shape[-1] == 4:
+            img = img[..., :3] * img[..., 3:]     # composite over black
+        H, W = (img.shape[:2] if img is not None else (800, 800))
+        fx = 0.5 * W / np.tan(0.5 * float(meta["camera_angle_x"]))
+        cams.append(Camera(
+            uid=uid, c2w=c2w, fx=fx, fy=fx, cx=W / 2, cy=H / 2,
+            width=W, height=H, image=img, depth=None,
+            pose_gt=c2w.copy(), timestamp=s / 30.0,
+        ))
+    return cams
+
+
 def read_synthetic(datapath: str = "", frame_num=30, use_object=False,
                    width=160, height=120, seed=0, **_):
     from .synthetic import synthetic_sequence
@@ -219,6 +362,10 @@ READERS = {
     "TUM": read_tum,
     "RO-MAP": read_romap,
     "CubeDiorama": read_romap,
+    "Ours": read_ours,
+    "Scannetpp": read_ours,
+    "Colmap": read_colmap,
+    "Blender": read_blender,
     "Synthetic": read_synthetic,
 }
 
@@ -235,6 +382,14 @@ class Dataset:
             frame_step=params.frame_step, use_object=params.use_object,
             json_path=params.json_path,
         )
+        if t == "Replica":
+            kwargs["use_semantics"] = params.use_semantics
+        if t in ("Ours", "Scannetpp"):
+            kwargs = dict(frame_start=params.frame_start,
+                          frame_num=params.frame_num,
+                          frame_step=params.frame_step,
+                          eval_=params.eval, crop_edge=params.crop_edge,
+                          scannetpp=(t == "Scannetpp"))
         if t == "Synthetic":
             kwargs = {"frame_num": params.frame_num,
                       "use_object": params.use_object}

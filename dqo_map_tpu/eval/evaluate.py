@@ -17,6 +17,7 @@ import numpy as np
 from ..utils.losses import l1_loss, ms_ssim, psnr, ssim
 
 _lpips_fn = None
+_warned_msssim = False
 
 
 def _lpips(img1: np.ndarray, img2: np.ndarray) -> Optional[float]:
@@ -53,7 +54,11 @@ def eval_picture(render_output: dict, gt_color: np.ndarray,
     try:
         msssim_v = float(ms_ssim(jnp.transpose(image, (2, 0, 1)),
                                  jnp.transpose(gt_img, (2, 0, 1))))
-    except Exception:
+    except Exception as e:
+        global _warned_msssim
+        if not _warned_msssim:
+            print(f"[eval] ms_ssim unavailable ({e}); reporting NaN")
+            _warned_msssim = True
         msssim_v = float("nan")
     color_l1 = float(l1_loss(gt_img, image))
 

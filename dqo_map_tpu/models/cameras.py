@@ -26,6 +26,22 @@ def focal2fov(focal: float, pixels: int) -> float:
     return 2 * math.atan(pixels / (2 * focal))
 
 
+def _render_inputs_device(c2w_dev, proj, K, tan_fovx, tan_fovy) -> dict:
+    import jax
+
+    @jax.jit
+    def pack(c2w, proj, K, tx, ty):
+        import jax.numpy as jnp
+        c2w = c2w.astype(jnp.float32)
+        w2c = jnp.linalg.inv(c2w)
+        return {
+            "w2c": w2c, "cam_pos": c2w[:3, 3], "full_proj": proj @ w2c,
+            "K": K, "tan_fovx": tx, "tan_fovy": ty,
+        }
+
+    return pack(c2w_dev, proj, K, tan_fovx, tan_fovy)
+
+
 def get_projection_matrix(znear: float, zfar: float, fovX: float, fovY: float) -> np.ndarray:
     """Perspective NDC projection, z in [0,1] (ref `utils/graphics_utils.py:66-86`)."""
     tanY = math.tan(fovY / 2)
@@ -62,6 +78,8 @@ class Camera:
     detections: Optional[list] = None         # per-frame detection dicts
     znear: float = 0.01
     zfar: float = 100.0
+    c2w_dev: Optional[object] = None          # device-side pose (overlapped
+                                              # tracking: no host readback)
 
     # --- pose ---------------------------------------------------------------
     @property
@@ -114,6 +132,20 @@ class Camera:
     def update_pose(self, pose_c2w: np.ndarray) -> None:
         """(ref `scene/cameras.py:165-167`)."""
         self.c2w = np.asarray(pose_c2w, dtype=np.float64)
+        self.c2w_dev = None
+
+    def set_pose_device(self, c2w_dev) -> None:
+        """Adopt a DEVICE-side pose (overlapped tracker mode): downstream
+        jitted consumers read it without a host roundtrip; host-side
+        consumers call `sync_pose()` first."""
+        self.c2w_dev = c2w_dev
+
+    def sync_pose(self) -> None:
+        """Materialize the device pose into the numpy `c2w` (blocks)."""
+        if self.c2w_dev is not None:
+            import jax
+            self.c2w = np.asarray(jax.device_get(self.c2w_dev), np.float64)
+            self.c2w_dev = None
 
     def update_w2c(self, R_transposed: np.ndarray, T: np.ndarray) -> None:
         """Set pose from the reference's (R^T, t) W2C split (ref `update`)."""
@@ -131,7 +163,14 @@ class Camera:
 
     # --- packing for jitted code ---------------------------------------------
     def render_inputs(self) -> dict:
-        """Static-shape float32 dict consumed by the rasterizer."""
+        """Static-shape float32 dict consumed by the rasterizer. With a
+        device pose (`set_pose_device`) every entry is computed on device —
+        zero host roundtrips on the overlapped tracking path."""
+        if self.c2w_dev is not None:
+            return _render_inputs_device(
+                self.c2w_dev, self.projection_matrix, self.K,
+                np.float32(math.tan(self.FoVx * 0.5)),
+                np.float32(math.tan(self.FoVy * 0.5)))
         return {
             "w2c": self.w2c.astype(np.float32),
             "cam_pos": self.camera_center.astype(np.float32),

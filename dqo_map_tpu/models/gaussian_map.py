@@ -49,6 +49,9 @@ class MapState(NamedTuple):
     color_err_cnt: jnp.ndarray  # (N,) int32
     frame_id: jnp.ndarray       # (N,) int32 — source frame (floater pruning)
     obj_id: jnp.ndarray         # (N,) int32 — object instance id (-1 = none)
+    sem_rgb: jnp.ndarray        # (N,3) semantic color (ref `_semantics`,
+                                #   gaussian_pointcloud.py; trained when
+                                #   use_semantics via the semantic pass)
     status: jnp.ndarray         # (N,) int32 — DEAD/UNSTABLE/STABLE
     count: jnp.ndarray          # () int32 — high-water slot mark
 
@@ -104,6 +107,7 @@ def empty_map(capacity: int) -> MapState:
         opacity=z(capacity), confidence=z(capacity), add_tick=zi(capacity),
         depth_err_cnt=zi(capacity), color_err_cnt=zi(capacity),
         frame_id=zi(capacity), obj_id=jnp.full((capacity,), -1, jnp.int32),
+        sem_rgb=z(capacity, 3),
         status=zi(capacity), count=jnp.int32(0),
     )
 
@@ -115,7 +119,8 @@ def inverse_sigmoid(x):
 def make_new_points(xyz: jnp.ndarray, normal: jnp.ndarray, color: jnp.ndarray,
                     valid: jnp.ndarray, time: jnp.ndarray,
                     frame_id: jnp.ndarray, init_opacity: float,
-                    xyz_factor: tuple, obj_id: Optional[jnp.ndarray] = None):
+                    xyz_factor: tuple, obj_id: Optional[jnp.ndarray] = None,
+                    sem_rgb: Optional[jnp.ndarray] = None):
     """Build raw parameter rows for freshly sampled pixels
     (ref `add_empty_points`, gaussian_pointcloud.py:445-517):
     SH DC from color, tiny log-scale placeholder (finalized by the KNN scale
@@ -144,6 +149,8 @@ def make_new_points(xyz: jnp.ndarray, normal: jnp.ndarray, color: jnp.ndarray,
         "frame_id": jnp.full((M,), frame_id, jnp.int32),
         "obj_id": obj_id if obj_id is not None
         else jnp.full((M,), -1, jnp.int32),
+        "sem_rgb": sem_rgb if sem_rgb is not None
+        else jnp.zeros((M, 3), jnp.float32),
     }
 
 
@@ -173,6 +180,7 @@ def add_points(state: MapState, new: dict, status_value: int = UNSTABLE) -> MapS
         color_err_cnt=sc(state.color_err_cnt, jnp.zeros((M,), jnp.int32)),
         frame_id=sc(state.frame_id, new["frame_id"]),
         obj_id=sc(state.obj_id, new["obj_id"]),
+        sem_rgb=sc(state.sem_rgb, new["sem_rgb"]),
         status=sc(state.status,
                   jnp.full((M,), status_value, jnp.int32)),
         count=jnp.minimum(state.count + n_valid, state.capacity),
@@ -230,6 +238,7 @@ def compact(state: MapState) -> MapState:
         depth_err_cnt=rearrange(state.depth_err_cnt),
         color_err_cnt=rearrange(state.color_err_cnt),
         frame_id=rearrange(state.frame_id), obj_id=rearrange(state.obj_id),
+        sem_rgb=rearrange(state.sem_rgb),
         status=jnp.asarray(dead_state), count=jnp.int32(n_alive),
     )
 
@@ -251,5 +260,6 @@ def grow(state: MapState, new_capacity: int) -> MapState:
         depth_err_cnt=ext(state.depth_err_cnt),
         color_err_cnt=ext(state.color_err_cnt),
         frame_id=ext(state.frame_id), obj_id=ext(state.obj_id, -1),
+        sem_rgb=ext(state.sem_rgb),
         status=ext(state.status), count=state.count,
     )

@@ -273,12 +273,45 @@ def occlusions_check(objects, K, Rt, W, H):
     return proj
 
 
-def match_objects(objects, detections, depth_data, proj, frame_id, K, Rt):
-    """IoU association with cover-based replacement (ref quadrics.py:1013-1217).
+def _det_ellipse(det) -> "Ellipse":
+    """Detection's 2D ellipse; bbox-inscribed fallback when absent."""
+    e = det.get("ellipse")
+    if e is not None:
+        return Ellipse(e[2:4], e[4], e[0:2])
+    bb = det["bbox"]
+    return Ellipse([(bb[2] - bb[0]) / 2, (bb[3] - bb[1]) / 2], 0.0,
+                   [(bb[0] + bb[2]) / 2, (bb[1] + bb[3]) / 2])
+
+
+def _assoc_score(pe, bb_proj, det, mode: str):
+    """Association score + accept flag for one (projected object, detection)
+    pair. Variants match the reference's ablation
+    (`/root/reference/SLAM/multiprocess/quadrics.py:970-988` QD metric +
+    `Only_IOU` flag; outputs in `eval_obj/results_accociation/`):
+      iou    — projected-bbox IoU > 0.5 (the shipped default)
+      qd     — 2-Wasserstein ellipse similarity exp(-W2/C) > 0.5
+      iou_qd — IoU > 0.5, or both moderately confident (IoU > 0.25 and
+               QD > 0.5); ranked by the sum."""
+    iou = bboxes_iou(bb_proj, det["bbox"])
+    if mode == "iou":
+        return iou, iou > 0.5
+    try:
+        w = wasserstein_similarity(pe, _det_ellipse(det))
+    except Exception:
+        w = 0.0
+    if mode == "qd":
+        return w, w > 0.5
+    return iou + w, (iou > 0.5) or (iou > 0.25 and w > 0.5)
+
+
+def match_objects(objects, detections, depth_data, proj, frame_id, K, Rt,
+                  mode: str = "iou"):
+    """Association with cover-based replacement (ref quadrics.py:1013-1217);
+    `mode` selects the iou / qd / iou_qd matching variant.
     Returns has_new_object."""
     has_new = False
     for cur_order, det in enumerate(detections):
-        best_iou = 0.0
+        best_score = 0.0
         matched = None
         node_id = -1
         bb_det = det["bbox"]
@@ -299,22 +332,23 @@ def match_objects(objects, detections, depth_data, proj, frame_id, K, Rt):
                     det["is_validate"] = False
                     matched = None
                     break
-            if iou > best_iou and iou > 0.5:
-                best_iou = iou
+            score, accept = _assoc_score(pe, bb_proj, det, mode)
+            if accept and score > best_score:
+                best_score = score
                 matched = obj
                 node_id = i
         if replaced:
             continue
-        if matched is not None and best_iou > 0.5:
+        if matched is not None:
             if matched.last_obs[0] == frame_id:
-                if best_iou < matched.last_obs[2]:
+                if best_score < matched.last_obs[2]:
                     continue
                 prev_det = matched.last_obs[1]
                 if 0 <= prev_det < len(detections):
                     detections[prev_det]["obj"] = None
             det["obj"] = matched
             det["node_id"] = node_id
-            matched.last_obs = [frame_id, cur_order, best_iou]
+            matched.last_obs = [frame_id, cur_order, best_score]
             pe = matched.ellipsoid_.project(K @ Rt)
             bbp = pe.compute_bbox()
             if bboxes_iou(bbp, bb_det) >= 0.01 or det["is_validate"]:
@@ -464,8 +498,14 @@ class ObjectLayer:
         self.current_dets: List[dict] = []
         self.rng = np.random.default_rng(2024)
         self.iou_log: dict = {}
+        # association variant for the reference's ablation suite
+        # (`eval_obj/results_accociation/`): iou | qd | iou_qd
+        self.association = (cfg.get("association", "iou")
+                            if hasattr(cfg, "get") else "iou")
 
     def process_frame(self, frame, frame_map, frame_id: int):
+        if hasattr(frame, "sync_pose"):
+            frame.sync_pose()      # host-side projection math needs numpy
         dets = frame.detections
         if not dets:
             self.current_dets = []
@@ -484,7 +524,8 @@ class ObjectLayer:
                     det["node_id"] = len(self.objects) - 1
         else:
             proj = occlusions_check(self.objects, K, Rt, W, H)
-            match_objects(self.objects, kept, depth_data, proj, frame_id, K, Rt)
+            match_objects(self.objects, kept, depth_data, proj, frame_id, K,
+                          Rt, mode=self.association)
             remove_outliers(self.objects, K, Rt)
         self.current_dets = kept
         self._K = K

@@ -30,7 +30,7 @@ from ..utils.losses import ssim as ssim_fn
 from ..utils.math3d import rot_compare, slerp, trans_compare
 from .renderer import Renderer, render_state
 
-OPT_FIELDS = ("xyz", "sh", "scaling", "rotation", "opacity")
+OPT_FIELDS = ("xyz", "sh", "scaling", "rotation", "opacity", "sem_rgb")
 
 
 class AdamState(NamedTuple):
@@ -89,7 +89,8 @@ def masked_mean(x, mask):
 
 def compute_loss(render_out: dict, image_input: dict, params: dict,
                  init_stat: dict, opt_mask: jnp.ndarray, weights: dict,
-                 add_depth_thres: float, use_ssim: bool):
+                 add_depth_thres: float, use_ssim: bool,
+                 sem_render: jnp.ndarray = None):
     render_mask = image_input["render_mask"]
     image = render_out["render"]
     depth = render_out["depth"]
@@ -131,6 +132,25 @@ def compute_loss(render_out: dict, image_input: dict, params: dict,
         + weights["ssim"] * ssim_loss
     )
 
+    # optional semantic color supervision (ref mapper.py:878-882: L1 between
+    # the rasterized per-gaussian semantic colors and the semantic image)
+    semantic_loss = 0.0
+    if sem_render is not None and "semantics_color" in image_input:
+        semantic_loss = masked_mean(
+            jnp.abs(sem_render - image_input["semantics_color"]), render_mask)
+        total = total + weights.get("semantic", 0.1) * semantic_loss
+
+    # optional instance/transparency supervision (ref mapper.py:885-104,
+    # Method==0 branch: T_map should be ~0 inside labeled instances, ~1
+    # elsewhere) — free, reuses the forward's transmittance
+    instance_loss = 0.0
+    if "instance_img" in image_input:
+        inst_gt = jnp.where(
+            jnp.sum(image_input["instance_img"], axis=-1) > 0, 0.0, 1.0)
+        instance_loss = masked_mean(
+            jnp.abs(render_out["T_map"] - inst_gt), render_mask)
+        total = total + weights.get("instance", 0.8) * instance_loss
+
     # attach anchor (ref mapper.py:812-829): low-init-opacity gaussians are
     # pinned to their init geometry with a 1000x L2
     init_op = jax.nn.sigmoid(init_stat["opacity"])
@@ -145,6 +165,7 @@ def compute_loss(render_out: dict, image_input: dict, params: dict,
         "total_loss": total, "color_loss": color_loss,
         "depth_loss": depth_loss, "normal_loss": normal_loss,
         "ssim_loss": ssim_loss, "scale_loss": attach,
+        "semantic_loss": semantic_loss, "instance_loss": instance_loss,
     }
     return total + attach, report
 
@@ -197,12 +218,25 @@ def optimize_scan(state: MapState, frames: dict, rand_idx: jnp.ndarray,
             "render_mask": frames["render_mask"][fidx],
         }
 
+        if "semantics_color" in frames:
+            image_input["semantics_color"] = frames["semantics_color"][fidx]
+        if "instance_img" in frames:
+            image_input["instance_img"] = frames["instance_img"][fidx]
+
         def loss_fn(p):
             st = set_params(state, p)
             out = render_state(st, cam, settings, subset, tile_mask,
                                bucket=bucket)
+            sem = None
+            if "semantics_color" in frames:
+                # semantic pass: same geometry rasterized with the semantic
+                # colors (ref render.py:227-246); trains p["sem_rgb"]
+                sem = render_state(st, cam, settings, subset, tile_mask,
+                                   colors_precomp=p["sem_rgb"],
+                                   bucket=bucket)["render"]
             return compute_loss(out, image_input, p, init_stat, opt_mask,
-                                weights, add_depth_thres, use_ssim)
+                                weights, add_depth_thres, use_ssim,
+                                sem_render=sem)
 
         (loss, report), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         params, opt_state = adam_update(params, grads, opt_state, lrs, opt_mask)
@@ -307,24 +341,20 @@ def densify_step(state: MapState, frame_map: dict, cam: dict,
     col = frame_map["color_map"].reshape(-1, 3)[idx]
     oid = (frame_map["obj_id_map"].reshape(-1)[idx]
            if "obj_id_map" in frame_map else None)
+    sem = (frame_map["semantics"].reshape(-1, 3)[idx]
+           if frame_map.get("semantics") is not None else None)
 
     new = gm.make_new_points(
         vert, norm, col, valid, time, frame_id, init_opacity, (xf0, xf1, xf2),
-        obj_id=oid)
+        obj_id=oid, sem_rgb=sem)
 
     # temp_points_filter (ref mapper.py:1351-1380): drop points already
-    # covered by an unstable gaussian (3-NN within 0.6 x radius)
-    unstable = state.status == gm.UNSTABLE
-    if bucket is not None and bucket < state.capacity:
-        uidx = jnp.nonzero(unstable, size=bucket,
-                           fill_value=state.capacity)[0]
-        ugi = jnp.clip(uidx, 0, state.capacity - 1)
-        d2, nn_idx = knn(new["xyz"], state.xyz[ugi],
-                         uidx < state.capacity, k=3)
-        nn_rad = state.get_radius()[ugi][nn_idx] * 0.6
-    else:
-        d2, nn_idx = knn(new["xyz"], state.xyz, unstable, k=3)
-        nn_rad = state.get_radius()[nn_idx] * 0.6
+    # covered by an unstable gaussian (3-NN within 0.6 x radius). Alive
+    # slots are prefix-packed, so KNN tables are static slices.
+    B = min(bucket, state.capacity) if bucket is not None else state.capacity
+    unstable_b = state.status[:B] == gm.UNSTABLE
+    d2, nn_idx = knn(new["xyz"], state.xyz[:B], unstable_b, k=3)
+    nn_rad = state.get_radius()[:B][nn_idx] * 0.6
     covered = jnp.any(jnp.sqrt(d2) < nn_rad, axis=-1) & (state.num_unstable() > 0)
     new["valid"] = new["valid"] & (~covered)
 
@@ -356,20 +386,11 @@ def densify_step(state: MapState, frame_map: dict, cam: dict,
         new["opacity"] = jnp.where(attach, low_op, new["opacity"])
 
     # update_geometry scale init (ref gaussian_pointcloud.py:519-570):
-    # KNN against new points + existing alive gaussians (bucket-compacted)
+    # KNN against new points + existing alive gaussians (prefix slice)
     M = new["xyz"].shape[0]
-    if bucket is not None and bucket < state.capacity:
-        cidx = jnp.nonzero(state.alive(), size=bucket,
-                           fill_value=state.capacity)[0]
-        cin = cidx < state.capacity
-        gi = jnp.clip(cidx, 0, state.capacity - 1)
-        exist_xyz = state.xyz[gi]
-        exist_rad = state.get_radius()[gi]
-        exist_valid = cin
-    else:
-        exist_xyz = state.xyz
-        exist_rad = state.get_radius()
-        exist_valid = state.alive()
+    exist_xyz = state.xyz[:B]
+    exist_rad = state.get_radius()[:B]
+    exist_valid = state.alive()[:B]
     cand_xyz = jnp.concatenate([new["xyz"], exist_xyz])
     cand_rad = jnp.concatenate([jnp.full((M,), 1e-6), exist_rad])
     cand_valid = jnp.concatenate([new["valid"], exist_valid])
@@ -554,10 +575,6 @@ class Mapping:
         # expected plateau avoids mid-run recompiles of every jitted step
         self.bucket = min(int(getattr(args, "initial_bucket", 4096) or 4096),
                           args.capacity)
-        # separate (smaller) ladder for unstable-subset renders: the local
-        # optimize scan touches only the unstable cloud (~5-30k), so its
-        # static costs (sort, pack gathers, preprocess) shrink accordingly
-        self.bucket_unstable = min(4096, args.capacity)
         self.key = jax.random.key(2024)
         self.last_reports: dict = {}
         self.save_path = args.save_path
@@ -578,18 +595,22 @@ class Mapping:
         # per-coefficient scale vector folded into one lr array
         sh_lr = jnp.full((gm.SH_K, 1), o.feature_lr / 20.0 * coef_feature * lr_scale)
         sh_lr = sh_lr.at[0].set(o.feature_lr * coef_feature * lr_scale)
+        sem_coef = getattr(self.args, "semantic_lr_coef", 1.0)
         return {
             "xyz": pos * lr_scale,
             "sh": sh_lr[None],          # broadcast (1,K,1) over (N,K,3)
             "scaling": o.scaling_lr * coef_scaling * lr_scale,
             "rotation": o.rotation_lr * coef_rotation * lr_scale,
             "opacity": o.opacity_lr * lr_scale,
+            "sem_rgb": o.semantic_lr * sem_coef * lr_scale,
         }
 
     def _weights(self):
         o = self.opt
         return {"color": o.color_weight, "depth": o.depth_weight,
-                "normal": o.normal_weight, "ssim": o.ssim_weight}
+                "normal": o.normal_weight, "ssim": o.ssim_weight,
+                "semantic": o.semantic_color_weight,
+                "instance": o.instance_weight}
 
     # --------------------------------------------------------------
     def get_render_output(self, cam_inputs: dict) -> dict:
@@ -609,15 +630,21 @@ class Mapping:
     @staticmethod
     @jax.jit
     def _counts(state):
-        return (jnp.sum(state.status == gm.UNSTABLE),
-                jnp.sum(state.status == gm.STABLE))
+        # one stacked array = ONE host transfer (the TPU may sit behind a
+        # network tunnel where every readback is a roundtrip)
+        return jnp.stack([jnp.sum(state.status == gm.UNSTABLE),
+                          jnp.sum(state.status == gm.STABLE),
+                          state.count])
+
+    def _counts3(self):
+        if self._cached_counts is None:
+            c = np.asarray(self._counts(self.state))
+            self._cached_counts = (int(c[0]), int(c[1]), int(c[2]))
+        return self._cached_counts
 
     def counts(self):
         """(n_unstable, n_stable) with one device sync; cached per frame."""
-        if self._cached_counts is None:
-            u, st = self._counts(self.state)
-            self._cached_counts = (int(u), int(st))
-        return self._cached_counts
+        return self._counts3()[:2]
 
     @staticmethod
     def _rung(want: int) -> int:
@@ -627,15 +654,24 @@ class Mapping:
         return b
 
     def _update_bucket(self):
-        # 4x growth steps: each bucket change recompiles the big jitted
-        # steps, so keep the ladder short (4096, 16k, 64k, 256k, cap)
-        u, st = self.counts()
+        """Keep the render prefix ahead of the slot WATERMARK (renders slice
+        [0:bucket]; alive slots are packed below `count`). 4x rungs keep the
+        recompile count small; when dead holes inflate the watermark past a
+        rung the host compacts instead of growing."""
+        u, st, wm = self._counts3()
         cap = self.state.capacity
-        self.bucket = max(self.bucket,
-                          min(self._rung(int((u + st) * 1.3)), cap))
-        self.bucket_unstable = max(
-            self.bucket_unstable,
-            min(self._rung(int(u * 1.3)), self.bucket, cap))
+        add = min(self.args.add_capacity,
+                  2 * self.args.uniform_sample_num + 8192)
+        need = wm + add                      # worst case before next check
+        if need > self.bucket:
+            if (wm > (u + st) * 1.5
+                    and self._rung(int((u + st) * 1.2) + add)
+                    < self._rung(need)):
+                self.state = gm.compact(self.state)
+                self._cached_counts = None
+                u, st, wm = self._counts3()
+                need = wm + add
+            self.bucket = max(self.bucket, min(self._rung(need), cap))
 
     def gaussians_add(self, frame: Camera, frame_map: dict, frame_id: int):
         cam = frame.render_inputs()
@@ -663,23 +699,33 @@ class Mapping:
             self.args.add_capacity, cfg, bucket=self.bucket,
         )
         self._maybe_compact()
-        return int(n_added)
+        return n_added
 
     def _maybe_compact(self):
-        if int(self.state.count) > self.state.capacity * 0.9:
-            self.state = gm.compact(self.state)
-            if int(self.state.count) > self.state.capacity * 0.8:
-                self.state = gm.grow(self.state, self.state.capacity * 2)
+        # slot high-watermark check without an extra device sync: alive
+        # count (from the per-frame counts cache) + this frame's add cap
+        # bounds the slot watermark growth since the last compact
+        u, st = self.counts()
+        if u + st + self.args.add_capacity > self.state.capacity * 0.9:
+            if int(self.state.count) > self.state.capacity * 0.9:
+                self.state = gm.compact(self.state)
+                if int(self.state.count) > self.state.capacity * 0.8:
+                    self.state = gm.grow(self.state, self.state.capacity * 2)
 
     # --------------------------------------------------------------
     def check_keyframe(self, frame: Camera, frame_map: dict,
                        frame_id: int) -> bool:
         """(ref `check_keyframe`, mapper.py:734-773)."""
+        frame.sync_pose()          # host rot/trans compare needs numpy pose
         keymap = {
             "color": np.asarray(frame_map["color_map"]),
             "depth": np.asarray(frame_map["depth_map"]),
             "normal": np.asarray(frame_map["normal_map_w"]),
         }
+        if frame_map.get("semantics") is not None:
+            keymap["semantics"] = np.asarray(frame_map["semantics"])
+        if frame_map.get("instance_img") is not None:
+            keymap["instance"] = np.asarray(frame_map["instance_img"])
         if self.time == 0:
             self.keyframes.append((frame, frame.render_inputs(), keymap))
             self.keyframe_ids.append(frame_id)
@@ -714,6 +760,12 @@ class Mapping:
             "tan_fovx": jnp.asarray(entries[0]["cam"]["tan_fovx"]),
             "tan_fovy": jnp.asarray(entries[0]["cam"]["tan_fovy"]),
         }
+        if entries[0].get("semantics_color") is not None:
+            frames["semantics_color"] = jnp.stack(
+                [e["semantics_color"] for e in entries])
+        if entries[0].get("instance_img") is not None:
+            frames["instance_img"] = jnp.stack(
+                [e["instance_img"] for e in entries])
         return frames
 
     def _rand_schedule(self, iters, n_frames, second_half_last=True):
@@ -731,12 +783,13 @@ class Mapping:
         entries = []
         for cam, fm in self.processed_frames:
             rm, tm = render_range_step(self.state, cam, self.settings, False,
-                                       -1.0, None, ts,
-                                       bucket=self.bucket_unstable)
+                                       -1.0, None, ts, bucket=self.bucket)
             entries.append({
                 "color": fm["color_map"], "depth": fm["depth_map"],
                 "normal": fm["normal_map_w"], "render_mask": rm,
                 "tile_mask": tm, "cam": cam,
+                "semantics_color": fm.get("semantics"),
+                "instance_img": fm.get("instance_img"),
             })
         _pr("local/range_renders", t0, [e["tile_mask"] for e in entries])
         t0 = _now()
@@ -770,8 +823,12 @@ class Mapping:
             self.state, history, confidence_pre, opt_mask,
             self.args.history_merge_max_weight)
         _pr("local/history_merge", t0, self.state.xyz)
-        self.last_reports = {k: float(v[-1]) for k, v in reports.items()}
-        self.logger.log_dict(self.time, self.last_reports, "local/")
+        if self.logger.enabled:
+            self.last_reports = {k: float(v[-1])
+                                 for k, v in jax.device_get(reports).items()}
+            self.logger.log_dict(self.time, self.last_reports, "local/")
+        else:
+            self.last_reports = {k: v[-1] for k, v in reports.items()}
 
     def global_optimization(self, select_keyframe_num: int = -1,
                             is_end: bool = False):
@@ -798,6 +855,10 @@ class Mapping:
                 "color": gt, "depth": jnp.asarray(keymap["depth"]),
                 "normal": jnp.asarray(keymap["normal"]), "render_mask": rm,
                 "tile_mask": None if is_final else tm, "cam": cam,
+                "semantics_color": (jnp.asarray(keymap["semantics"])
+                                    if "semantics" in keymap else None),
+                "instance_img": (jnp.asarray(keymap["instance"])
+                                 if "instance" in keymap else None),
             })
         # static keyframe-batch width for the steady-state path (the final
         # whole-history pass compiles once at end of run, dynamic is fine)
@@ -827,8 +888,12 @@ class Mapping:
             with_tile_mask=not is_final, subset="stable",
             bucket=self.bucket,
         )
-        self.last_reports = {k: float(v[-1]) for k, v in reports.items()}
-        self.logger.log_dict(self.time, self.last_reports, "global/")
+        if self.logger.enabled:
+            self.last_reports = {k: float(v[-1])
+                                 for k, v in jax.device_get(reports).items()}
+            self.logger.log_dict(self.time, self.last_reports, "global/")
+        else:
+            self.last_reports = {k: v[-1] for k, v in reports.items()}
 
     # --------------------------------------------------------------
     def mapping(self, frame: Camera, frame_map: dict, frame_id: int,
@@ -846,6 +911,7 @@ class Mapping:
             # bind this frame's new gaussians to matched objects
             frame_map["obj_id_map"] = jnp.asarray(
                 object_layer.obj_id_image(frame.width, frame.height))
+        self._update_bucket()
         t0 = _now()
         self.gaussians_add(frame, frame_map, frame_id)
         _pr("gaussians_add", t0, self.state.xyz)

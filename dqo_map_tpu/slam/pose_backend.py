@@ -1,15 +1,21 @@
 """Feature-based pose backend (native C++), the reference's ORB-SLAM2 slot.
 
-The reference's tracker optionally delegates pose estimation to a C++
-ORB-SLAM2 binding and fuses it with ICP (`use_orb_backend` / `orb_useicp`,
-reference SLAM/tracker.py:80-120,340-420). This module binds our
-from-scratch native backend (`runtime/orb_backend.cc`: oriented-BRIEF
-corners, Hamming matching, RANSAC 3D-3D alignment over depth-lifted
-keypoints) via ctypes and implements the same fusion policy:
+The reference's tracker optionally delegates pose estimation to a modified
+C++ ORB-SLAM2 (`use_orb_backend`; `TrackRGBDwithIcpInit` seeds feature
+tracking with the ICP relative pose, ORB-SLAM2-PYBIND/include/System.h:75-77)
+and falls back to feature-only tracking when ICP fails
+(SLAM/multiprocess/tracker.py:265-283). This module binds our from-scratch
+native backend (`runtime/orb_backend.cc`: oriented-BRIEF corners, Hamming
+matching, RANSAC 3D-3D alignment, keyframe store + relocalization) via
+ctypes and implements the fusion policy:
 
-  * feature pose wins when it has enough inliers,
-  * otherwise fall back to the ICP relative pose when ICP converged,
-  * otherwise constant-velocity (identity relative motion).
+  * the ICP relative pose seeds the feature matcher (projective gating);
+  * a KEYFRAME absolute pose wins when strong (bounds drift — frame-to-
+    frame odometry alone drifts without it);
+  * else the feature relative pose when it has enough inliers;
+  * else the ICP relative pose when ICP converged;
+  * else constant position. The fused pose is committed back so the
+    backend can anchor keyframes in the world frame.
 """
 
 from __future__ import annotations
@@ -38,6 +44,7 @@ def _load_lib():
     if lib is None:
         raise RuntimeError(
             f"liborb_backend.so not found (build with `make -C runtime`): {last}")
+    dptr = ctypes.POINTER(ctypes.c_double)
     lib.ob_create.restype = ctypes.c_void_p
     lib.ob_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_double,
                               ctypes.c_double, ctypes.c_double,
@@ -45,23 +52,31 @@ def _load_lib():
     lib.ob_track.restype = ctypes.c_int
     lib.ob_track.argtypes = [ctypes.c_void_p,
                              ctypes.POINTER(ctypes.c_uint8),
-                             ctypes.POINTER(ctypes.c_float),
-                             ctypes.POINTER(ctypes.c_double)]
+                             ctypes.POINTER(ctypes.c_float), dptr]
+    lib.ob_track2.restype = ctypes.c_int
+    lib.ob_track2.argtypes = [ctypes.c_void_p,
+                              ctypes.POINTER(ctypes.c_uint8),
+                              ctypes.POINTER(ctypes.c_float),
+                              dptr, dptr, dptr,
+                              ctypes.POINTER(ctypes.c_int)]
+    lib.ob_accept_pose.argtypes = [ctypes.c_void_p, dptr]
+    lib.ob_num_keyframes.restype = ctypes.c_int
+    lib.ob_num_keyframes.argtypes = [ctypes.c_void_p]
     lib.ob_reset.argtypes = [ctypes.c_void_p]
     lib.ob_destroy.argtypes = [ctypes.c_void_p]
     return lib
 
 
 class PoseBackend:
-    """Stateful per-sequence feature tracker.
+    """Stateful per-sequence feature tracker with a keyframe map.
 
     `track(frame, icp_pose10, icp_success)` returns the world pose (c2w) of
-    the new frame, composing the last estimated pose with the chosen
-    relative motion. Mirrors the decision structure of the reference's
-    `Tracking` orb/icp fusion (reference SLAM/tracker.py:340-420).
+    the new frame. Mirrors the decision structure of the reference's
+    orb/icp fusion plus keyframe-anchored drift correction.
     """
 
     MIN_INLIERS = 12
+    MIN_KF_INLIERS = 20
 
     def __init__(self, args):
         self._lib = _load_lib()
@@ -70,6 +85,8 @@ class PoseBackend:
         self.use_icp = bool(getattr(args, "orb_useicp", True))
         self.poses: list = []
         self.n_inliers_last = -1
+        self.kf_inliers_last = -1
+        self.source_last = "init"
 
     def _ensure(self, W, H, K):
         if self._handle is None:
@@ -77,9 +94,7 @@ class PoseBackend:
                 int(W), int(H), float(K[0, 0]), float(K[1, 1]),
                 float(K[0, 2]), float(K[1, 2]), self._max_feats)
 
-    def ingest(self, frame) -> int:
-        """Feed one frame; returns feature-pose inlier count (<0 before the
-        second frame). `self.rel` holds T_{prev<-curr} on success."""
+    def _frame_arrays(self, frame):
         img = np.asarray(frame.image)
         if img.ndim == 3:
             gray = (0.299 * img[..., 0] + 0.587 * img[..., 1]
@@ -91,30 +106,63 @@ class PoseBackend:
                            0, 255).astype(np.uint8)
         gray = np.ascontiguousarray(gray)
         depth = np.ascontiguousarray(np.asarray(frame.depth, np.float32))
+        return gray, depth
+
+    def ingest(self, frame, icp_pose10: np.ndarray = None) -> int:
+        """Feed one frame; returns feature-pose inlier count (<0 before the
+        second frame). Sets `self.rel` (T_{prev<-curr}) and, when a
+        keyframe matched, `self.abs_pose` (T_{world<-curr})."""
+        gray, depth = self._frame_arrays(frame)
         H, W = gray.shape
         self._ensure(W, H, np.asarray(frame.K))
-        pose = np.eye(4, dtype=np.float64).reshape(-1)
-        n = self._lib.ob_track(
+        rel = np.eye(4, dtype=np.float64).reshape(-1)
+        abs_p = np.eye(4, dtype=np.float64).reshape(-1)
+        kf_inl = ctypes.c_int(-1)
+        dptr = ctypes.POINTER(ctypes.c_double)
+        prior = (np.ascontiguousarray(icp_pose10, np.float64).reshape(-1)
+                 if icp_pose10 is not None else None)
+        n = self._lib.ob_track2(
             self._handle,
             gray.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            pose.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
-        self.rel = pose.reshape(4, 4)
+            prior.ctypes.data_as(dptr) if prior is not None else None,
+            rel.ctypes.data_as(dptr), abs_p.ctypes.data_as(dptr),
+            ctypes.byref(kf_inl))
+        self.rel = rel.reshape(4, 4)
+        self.abs_pose = abs_p.reshape(4, 4)
         self.n_inliers_last = n
+        self.kf_inliers_last = int(kf_inl.value)
         return n
 
     def track(self, frame, icp_pose10: np.ndarray, icp_success: bool):
-        n = self.ingest(frame)
-        if n >= self.MIN_INLIERS:
-            rel = self.rel
-        elif self.use_icp and icp_success and icp_pose10 is not None:
-            rel = np.asarray(icp_pose10, np.float64)
-        else:
-            rel = np.eye(4)
+        n = self.ingest(frame, icp_pose10 if (self.use_icp and icp_success)
+                        else None)
         last = self.poses[-1] if self.poses else np.eye(4)
-        pose_w = last @ rel
+        if self.kf_inliers_last >= self.MIN_KF_INLIERS:
+            pose_w = self.abs_pose          # drift-free keyframe anchor
+            self.source_last = "keyframe"
+        elif n >= self.MIN_INLIERS:
+            pose_w = last @ self.rel
+            self.source_last = "features"
+        elif self.use_icp and icp_success and icp_pose10 is not None:
+            pose_w = last @ np.asarray(icp_pose10, np.float64)
+            self.source_last = "icp"
+        else:
+            pose_w = last.copy()
+            self.source_last = "hold"
         self.poses.append(pose_w)
+        self.commit(pose_w)
         return pose_w
+
+    def commit(self, pose_w: np.ndarray):
+        """Feed the fused world pose back for keyframe anchoring."""
+        p = np.ascontiguousarray(pose_w, np.float64).reshape(-1)
+        self._lib.ob_accept_pose(
+            self._handle, p.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+
+    def num_keyframes(self) -> int:
+        return int(self._lib.ob_num_keyframes(self._handle)) \
+            if self._handle else 0
 
     def reset(self):
         if self._handle is not None:

@@ -117,6 +117,14 @@ def render_state(state: MapState, cam_inputs: dict, settings: RenderSettings,
                  with_n_touched: bool = False) -> dict:
     """Render a MapState subset.
 
+    `bucket` is a STATIC PREFIX length: `add_points` packs alive slots below
+    the `count` watermark, so slicing [0:bucket] (free under XLA) replaces
+    the earlier nonzero+gather compaction — which cost a large gather on
+    every render and a scatter in every gradient render. Slot ids in the
+    index maps are global by construction. Dead holes inside the prefix are
+    culled by the rasterizer's valid mask; the host compacts when holes
+    accumulate (`Mapping._update_bucket`).
+
     with_n_touched defaults OFF (the entries->gaussian scatter costs ~10 ms
     at full cap and only the USE_PURNE prune path reads it). Depth is always
     differentiable — the Pallas VJP routes the depth cotangent in-kernel.
@@ -124,45 +132,34 @@ def render_state(state: MapState, cam_inputs: dict, settings: RenderSettings,
     valid = subset_mask(state, subset)
     cap = state.capacity
     if bucket is not None and bucket < cap:
-        idx = jnp.nonzero(valid, size=bucket, fill_value=cap)[0]
-        in_bucket = idx < cap
-        gi = jnp.clip(idx, 0, cap - 1)
-        xyz = state.xyz[gi]
-        scaling = jnp.exp(state.scaling[gi])
-        rot_raw = state.rotation[gi]
-        opac = jax.nn.sigmoid(state.opacity[gi])
-        sh = state.sh[gi]
-        cp = colors_precomp[gi] if colors_precomp is not None else None
+        sl = lambda x: x[:bucket]
         from ..utils.math3d import normalize
-        rotation = normalize(rot_raw)
-        sub = MapState(
-            xyz=xyz, sh=sh, scaling=state.scaling[gi], rotation=rot_raw,
-            opacity=state.opacity[gi], confidence=state.confidence[gi],
-            add_tick=state.add_tick[gi],
-            depth_err_cnt=state.depth_err_cnt[gi],
-            color_err_cnt=state.color_err_cnt[gi],
-            frame_id=state.frame_id[gi], obj_id=state.obj_id[gi],
-            status=jnp.where(in_bucket, 1, 0).astype(jnp.int32),
-            count=jnp.sum(in_bucket.astype(jnp.int32)),
-        )
+        sh = sl(state.sh)
+        xyz = sl(state.xyz)
+        cp = colors_precomp[:bucket] if colors_precomp is not None else None
         colors = cp if cp is not None else eval_colors(
             sh, xyz, cam_inputs["cam_pos"], settings.sh_degree)
-        out = rasterize(
-            xyz, scaling, rotation, opac, colors, cam_inputs, settings,
-            tile_mask=tile_mask, normal_w=sub.get_normal(),
-            valid_mask=in_bucket, with_n_touched=with_n_touched,
+        sub = state._replace(
+            xyz=xyz, sh=sh, scaling=sl(state.scaling),
+            rotation=sl(state.rotation), opacity=sl(state.opacity),
+            confidence=sl(state.confidence), add_tick=sl(state.add_tick),
+            depth_err_cnt=sl(state.depth_err_cnt),
+            color_err_cnt=sl(state.color_err_cnt),
+            frame_id=sl(state.frame_id), obj_id=sl(state.obj_id),
+            status=sl(state.status),
         )
-        # translate index maps + n_touched back to global slot ids
-        for key in ("depth_index_map", "color_index_map"):
-            m = out[key]
-            out[key] = jnp.where(m >= 0, idx[jnp.clip(m, 0)].astype(jnp.int32),
-                                 -1)
+        out = rasterize(
+            xyz, sub.get_scaling(), sub.get_rotation(), sub.get_opacity(),
+            colors, cam_inputs, settings,
+            tile_mask=tile_mask, normal_w=sub.get_normal(),
+            valid_mask=sl(valid), with_n_touched=with_n_touched,
+        )
         if with_n_touched:
-            out["n_touched"] = jnp.zeros(cap + 1, jnp.int32).at[idx].add(
-                out["n_touched"], mode="drop")[:cap]
+            out["n_touched"] = jnp.zeros(cap, jnp.int32).at[:bucket].set(
+                out["n_touched"])
         else:
             out["n_touched"] = jnp.zeros(cap, jnp.int32)
-        out["bucket_overflow"] = jnp.sum(valid) > bucket
+        out["bucket_overflow"] = state.count > bucket
         return out
 
     colors = (colors_precomp if colors_precomp is not None else eval_colors(

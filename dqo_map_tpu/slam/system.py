@@ -40,6 +40,7 @@ class SLAMSystem:
         self.recorder = Recorder()
         self.mapping = Mapping(cfg, self.width, self.height, self.recorder)
         self.tracker = Tracker(cfg.tracking, self.width, self.height)
+        self.tracker.save_path = cfg.map.save_path
         self.object_layer = None
         if cfg.opt.use_object:
             from ..models.quadrics import ObjectLayer
@@ -56,6 +57,10 @@ class SLAMSystem:
                                    "strict")
         self.sync_frames = max(1, int(getattr(
             cfg.system, "sync_tracker2mapper_frames", 1) or 1))
+        # overlapped modes keep the pose chain on device: the tracker never
+        # stalls the host on the ICP result (ref 3-process overlap,
+        # SLAM/multiprocess/tracker.py:520-539)
+        self.tracker.async_pose = self.sync_method != "strict"
 
     # ------------------------------------------------------------------
     def step(self, frame: Camera, frame_id: int) -> dict:

@@ -28,6 +28,11 @@ from ..utils.math3d import eval_ate
 from .icp import IcpConfig, icp_pyramid
 
 
+@jax.jit
+def _compose_pose(a, b):
+    return a @ b
+
+
 @partial(jax.jit, static_argnames=("levels", "min_depth", "max_depth",
                                    "invalid_confidence_thresh", "depth_filter"))
 def preprocess_frame(depth: jnp.ndarray, color: jnp.ndarray, K: jnp.ndarray,
@@ -125,6 +130,10 @@ class Tracker:
         self.pose_es: list = []
         self.timestamps: list = []
         self.icp_fail_count = 0
+        self.save_path: Optional[str] = None   # set by SLAMSystem for dumps
+        self._fail_dumps = 0
+        self.async_pose = False        # overlapped mode (set by SLAMSystem)
+        self._pending_p2p = None
         self._last_pyr = None          # (vertex_pyr, normal_pyr) of frame t0
         self._last_model_depth = None
         self._curr_pyr = None
@@ -163,7 +172,15 @@ class Tracker:
 
     def tracking(self, frame: Camera, frame_map: dict) -> bool:
         """Estimate the frame pose, update `frame`, and lift maps to world
-        (ref `Tracker.tracking`, tracker.py:307-339)."""
+        (ref `Tracker.tracking`, tracker.py:307-339).
+
+        With `async_pose` (the overlapped loose/free modes) the ICP result
+        stays ON DEVICE: the pose chain composes in a jitted matmul, the
+        failure check reads the PREVIOUS frame's residual (by then long
+        computed — the ref's loose mode also reacts one frame late,
+        system.py:19-24), and the host never stalls on the device queue —
+        the mapper's compiled steps for frame N overlap the tracker
+        dispatch for frame N+1."""
         self.pose_gt.append(np.asarray(frame.pose_gt, np.float64))
         self.timestamps.append(frame.timestamp)
         success = True
@@ -172,7 +189,8 @@ class Tracker:
         elif self._last_pyr is None:
             # first frame — or first frame after a checkpoint resume, where
             # the previous pyramid isn't restored: hold the last pose
-            pose_t1_w = self.pose_es[-1] if self.pose_es else np.eye(4)
+            pose_t1_w = (np.asarray(jax.device_get(self.pose_es[-1]))
+                         if self.pose_es else np.eye(4))
             if self.pose_backend is not None:
                 # prime the feature tracker's reference frame
                 self.pose_backend.ingest(frame)
@@ -182,15 +200,41 @@ class Tracker:
             pose10, p2p, valid_ratio = icp_pyramid(
                 vp0, np0, *self._curr_pyr, self.K, self.icp_cfg
             )
+            if self.async_pose and self.pose_backend is None:
+                # deferred failure check: previous frame's residual
+                if self._pending_p2p is not None:
+                    p_prev = float(jax.device_get(self._pending_p2p))
+                    if p_prev > self.icp_cfg.fail_threshold:
+                        self.icp_fail_count += 1
+                        self._dump_icp_failure(frame, frame_map, p_prev,
+                                               None)
+                self._pending_p2p = p2p
+                pose_dev = _compose_pose(self._pose_dev(), pose10)
+                self.move_last_status()
+                self.pose_es.append(pose_dev)
+                frame.set_pose_device(pose_dev)
+                c2w = pose_dev.astype(jnp.float32)
+                frame_map["vertex_map_w"] = im.transform_map(
+                    frame_map["vertex_map_c"], c2w)
+                frame_map["normal_map_w"] = im.rotate_map(
+                    frame_map["normal_map_c"], c2w)
+                return True
+            # ONE host transfer for pose + p2p (each readback is a network
+            # roundtrip when the TPU sits behind a tunnel)
+            pose10, p2p = jax.device_get((pose10, p2p))
             pose10 = np.asarray(pose10, np.float64)
             success = bool(p2p <= self.icp_cfg.fail_threshold)
             if not success:
                 self.icp_fail_count += 1
+                self._dump_icp_failure(frame, frame_map, float(p2p), pose10)
             if self.pose_backend is not None:
+                # fusion incl. ICP-failure fallback to feature-only tracking
+                # (ref tracker.py:265-283)
                 pose_t1_w = self.pose_backend.track(
                     frame, pose10, success)
             else:
-                pose_t1_w = self.pose_es[-1] @ pose10
+                pose_t1_w = np.asarray(
+                    jax.device_get(self.pose_es[-1])) @ pose10
 
         self.move_last_status()
         self.pose_es.append(np.asarray(pose_t1_w, np.float64))
@@ -200,6 +244,34 @@ class Tracker:
         frame_map["vertex_map_w"] = im.transform_map(frame_map["vertex_map_c"], c2w)
         frame_map["normal_map_w"] = im.rotate_map(frame_map["normal_map_c"], c2w)
         return success
+
+    def _pose_dev(self):
+        """Last pose as a device array (lazy promotion from numpy)."""
+        if self.pose_es:
+            p = self.pose_es[-1]
+            return p if hasattr(p, "devices") else jnp.asarray(
+                np.asarray(p), jnp.float32)
+        return jnp.eye(4, dtype=jnp.float32)
+
+    def _dump_icp_failure(self, frame, frame_map, p2p: float,
+                          pose10: np.ndarray, max_dumps: int = 5):
+        """Diagnostics on tracking failure (ref `Tracker` failure dumps,
+        SLAM/multiprocess/tracker.py:97-116): the finest-level vertex maps,
+        the rejected relative pose, and the loss, capped at `max_dumps`."""
+        if self.save_path is None or self._fail_dumps >= max_dumps:
+            return
+        import os as _os
+        d = _os.path.join(self.save_path, "icp_fail")
+        _os.makedirs(d, exist_ok=True)
+        vp0 = (np.asarray(self._last_pyr[0][-1])
+               if self._last_pyr is not None else np.zeros(0))
+        vp1 = np.asarray(self._curr_pyr[0][-1])
+        np.savez_compressed(
+            _os.path.join(d, f"fail_{len(self.pose_es):05d}.npz"),
+            p2p=p2p, pose10=pose10, vertex_last=vp0, vertex_curr=vp1,
+            depth=np.asarray(frame_map["depth_map"]),
+            n_fail=self.icp_fail_count)
+        self._fail_dumps += 1
 
     def move_last_status(self):
         self._last_pyr = self._curr_pyr
@@ -220,8 +292,13 @@ class Tracker:
         self._last_pyr = build_pyramids(fused, self.K, self.levels)
 
     # ------------------------------------------------------------------
+    def _poses_np(self):
+        """pose_es with device entries materialized (one transfer)."""
+        return [np.asarray(p, np.float64)
+                for p in jax.device_get(self.pose_es)]
+
     def eval_ate_series(self):
-        es = np.stack([p[:3, 3] for p in self.pose_es])
+        es = np.stack([p[:3, 3] for p in self._poses_np()])
         gt = np.stack([p[:3, 3] for p in self.pose_gt])
         return eval_ate(es, gt)
 
@@ -230,14 +307,14 @@ class Tracker:
         + final ATE."""
         traj_dir = os.path.join(save_path, "save_traj")
         os.makedirs(traj_dir, exist_ok=True)
-        pose_es = np.stack(self.pose_es)
+        pose_es = np.stack(self._poses_np())
         pose_gt = np.stack(self.pose_gt)
         np.save(os.path.join(traj_dir, "pose_es.npy"), pose_es)
         np.save(os.path.join(traj_dir, "pose_gt.npy"), pose_gt)
         ate = self.eval_ate_series()
         with open(os.path.join(traj_dir, "poses.txt"), "w") as f:
             from scipy.spatial.transform import Rotation as R
-            for ts, p in zip(self.timestamps, self.pose_es):
+            for ts, p in zip(self.timestamps, pose_es):
                 q = R.from_matrix(p[:3, :3]).as_quat()
                 t = p[:3, 3]
                 f.write(f"{ts} {t[0]} {t[1]} {t[2]} {q[0]} {q[1]} {q[2]} {q[3]}\n")

@@ -77,7 +77,15 @@ def load_checkpoint(path: str, system) -> int:
     z = np.load(path + ".npz")
     assert int(z["version"]) == CKPT_VERSION, "checkpoint version mismatch"
     m = system.mapping
-    m.state = MapState(**{k: jnp.asarray(z[f"map_{k}"])
+    cap = int(z["map_xyz"].shape[0])
+    import numpy as _np
+    def _get(k):
+        if f"map_{k}" in z:
+            return z[f"map_{k}"]
+        if k == "sem_rgb":                       # pre-sem_rgb checkpoints
+            return _np.zeros((cap, 3), _np.float32)
+        raise KeyError(k)
+    m.state = MapState(**{k: jnp.asarray(_get(k))
                           for k in MapState._fields})
     m.key = jax.random.wrap_key_data(jnp.asarray(z["key"], jnp.uint32))
 

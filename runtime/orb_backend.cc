@@ -1,21 +1,38 @@
 // Feature-based RGB-D pose backend: oriented-BRIEF corners + Hamming
-// matching + RANSAC 3D-3D alignment.
+// matching + RANSAC 3D-3D alignment + a KEYFRAME map with relocalization.
 //
-// Native counterpart of the reference's ORB-SLAM2 binding
-// (`use_orb_backend`, reference SLAM/tracker.py + orbslam2 C++ module):
-// the reference delegates feature-based camera tracking to a C++ backend
-// and fuses it with ICP. This is a from-scratch, dependency-free
-// implementation of that capability: Harris-scored grid corners, rotated
-// BRIEF-256 descriptors, ratio-test Hamming matching, and a RANSAC
-// Kabsch/Horn alignment over depth-lifted 3D correspondences. Runs on the
-// host CPU alongside the TPU compute path (same split as the reference:
-// feature tracking never touches the accelerator).
+// Native counterpart of the reference's modified ORB-SLAM2 binding
+// (`use_orb_backend`, reference SLAM/tracker.py + orbslam2 C++ module;
+// the modification `System::TrackRGBDwithIcpInit`,
+// ORB-SLAM2-PYBIND/include/System.h:75-77, seeds feature tracking with the
+// ICP relative pose instead of a constant-velocity model). From-scratch,
+// dependency-free implementation of those capabilities:
+//   * Harris-scored grid corners, rotated BRIEF-256, ratio-test Hamming
+//     matching, RANSAC triad + Horn refinement over depth-lifted 3D pairs;
+//   * ICP MOTION PRIOR: when a prior relative pose is supplied, matching is
+//     gated to a projective search window around each keypoint's predicted
+//     location (the TrackRGBDwithIcpInit equivalent);
+//   * KEYFRAME STORE: accepted world poses anchor keyframes (keypoints with
+//     world-frame 3D + descriptors); every frame is also aligned against
+//     the last keyframe for a drift-free absolute pose, and when both
+//     frame-to-frame and last-keyframe tracking fail, RELOCALIZATION scans
+//     the stored keyframes (most recent first). Loop closing / bundle
+//     adjustment are not implemented (the reference uses g2o for those).
+// Runs on the host CPU alongside the TPU compute path (same split as the
+// reference: feature tracking never touches the accelerator).
 //
 // exported C API (ctypes-friendly):
 //   ob_create(width, height, fx, fy, cx, cy, max_feats) -> handle
 //   ob_track(handle, gray_u8, depth_f32, rel_pose_out[16]) -> n_inliers
 //       rel_pose_out is T_{prev<-curr} row-major: x_prev = R x_curr + t.
 //       Returns -1 before the first frame has been ingested, 0 on failure.
+//   ob_track2(handle, gray_u8, depth_f32, prior_rel[16] | NULL,
+//             rel_out[16], abs_out[16], kf_inliers_out*) -> n_inliers
+//       like ob_track plus keyframe alignment: abs_out is T_{world<-curr}
+//       when *kf_inliers_out >= 0 (includes relocalization fallback).
+//   ob_accept_pose(handle, world_pose[16]) — commit the fused world pose of
+//       the frame just tracked; inserts a keyframe on enough motion.
+//   ob_num_keyframes(handle) -> int
 //   ob_reset(handle)
 //   ob_destroy(handle)
 
@@ -226,12 +243,24 @@ static inline int hamming(const uint64_t *a, const uint64_t *b) {
          __builtin_popcountll(a[2] ^ b[2]) + __builtin_popcountll(a[3] ^ b[3]);
 }
 
-void match(const Frame &a, const Frame &b, std::vector<std::pair<int, int>> &m) {
+// `pred` (optional, size of a.kps): predicted pixel position of each
+// a-keypoint in b's image (from the ICP motion prior); candidates outside
+// `radius` are skipped — the projective gating of TrackRGBDwithIcpInit.
+void match(const Frame &a, const Frame &b, std::vector<std::pair<int, int>> &m,
+           const std::vector<std::pair<float, float>> *pred = nullptr,
+           float radius = 40.f) {
   m.clear();
+  float r2 = radius * radius;
   for (size_t i = 0; i < a.kps.size(); ++i) {
     int best = 256, second = 256, bj = -1;
     const uint64_t *da = a.desc.data() + 4 * i;
+    bool gated = pred && (*pred)[i].first >= 0.f;
     for (size_t j = 0; j < b.kps.size(); ++j) {
+      if (gated) {
+        float dx = b.kps[j].x - (*pred)[i].first;
+        float dy = b.kps[j].y - (*pred)[i].second;
+        if (dx * dx + dy * dy > r2) continue;
+      }
       int h = hamming(da, b.desc.data() + 4 * j);
       if (h < best) {
         second = best;
@@ -357,11 +386,53 @@ bool triad(const Vec3 c[3], const Vec3 p[3], Mat3 &R, Vec3 &t) {
   return true;
 }
 
+struct Pose {
+  Mat3 R = Mat3::identity();
+  Vec3 t{0, 0, 0};
+};
+static inline Vec3 apply(const Pose &T, const Vec3 &p) {
+  return mul(T.R, p) + T.t;
+}
+static inline Pose inverse(const Pose &T) {
+  Pose r;
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < 3; ++j) r.R.m[i][j] = T.R.m[j][i];
+  r.t = -1.0 * mul(r.R, T.t);
+  return r;
+}
+static void pose_to16(const Pose &T, double *o) {
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < 3; ++j) o[4 * i + j] = T.R.m[i][j];
+  o[3] = T.t.x;
+  o[7] = T.t.y;
+  o[11] = T.t.z;
+  o[12] = o[13] = o[14] = 0;
+  o[15] = 1;
+}
+static Pose pose_from16(const double *p) {
+  Pose T;
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < 3; ++j) T.R.m[i][j] = p[4 * i + j];
+  T.t = {p[3], p[7], p[11]};
+  return T;
+}
+
+// keyframe: descriptors + keypoints whose 3D points live in WORLD frame
+struct Keyframe {
+  Frame frame;
+  Pose pose;  // T_world<-cam at insertion
+};
+
 struct Tracker {
   int W, H, max_feats;
   double fx, fy, cx, cy;
   Frame prev;
-  bool has_prev = false;
+  Frame cur_pending;            // frame awaiting ob_accept_pose
+  bool has_prev = false, has_pending = false;
+  std::vector<Keyframe> kfs;
+  Pose last_kf_pose;            // pose of last inserted keyframe
+  int frames_since_kf = 0;
+  int last_kf_inliers = -1;
   uint64_t rng = 0x2545F4914F6CDD1Dull;
   uint32_t rand_u32() {
     rng ^= rng << 13;
@@ -382,44 +453,27 @@ struct Tracker {
     }
   }
 
-  int track(const uint8_t *gray, const float *depth, double *pose_out) {
-    Frame cur;
-    detect(gray, W, H, max_feats, 12, cur.kps);
-    describe(gray, W, H, cur.kps, cur.desc);
-    lift(depth, cur.kps);
-    if (!has_prev) {
-      prev = std::move(cur);
-      has_prev = true;
-      return -1;
-    }
-    std::vector<std::pair<int, int>> m;
-    match(cur, prev, m);
-    std::vector<Vec3> pc, pp;
-    for (auto &pr : m) {
-      if (cur.kps[pr.first].has3d && prev.kps[pr.second].has3d) {
-        pc.push_back(cur.kps[pr.first].p3d);
-        pp.push_back(prev.kps[pr.second].p3d);
-      }
-    }
-    prev = std::move(cur);
-    size_t n = pc.size();
+  // RANSAC triad hypotheses + Horn refinement; aligns src -> dst
+  // (dst_i ~ R src_i + t). Returns inlier count (0 = failure).
+  int ransac_align(const std::vector<Vec3> &src, const std::vector<Vec3> &dst,
+                   Pose &out) {
+    size_t n = src.size();
     if (n < 6) return 0;
-
     Mat3 bestR = Mat3::identity();
     Vec3 bestT{0, 0, 0};
     int best_inl = 0;
     for (int it = 0; it < 256; ++it) {
       int i0 = rand_u32() % n, i1 = rand_u32() % n, i2 = rand_u32() % n;
       if (i0 == i1 || i1 == i2 || i0 == i2) continue;
-      Vec3 c[3] = {pc[i0], pc[i1], pc[i2]};
-      Vec3 p[3] = {pp[i0], pp[i1], pp[i2]};
+      Vec3 c[3] = {src[i0], src[i1], src[i2]};
+      Vec3 p[3] = {dst[i0], dst[i1], dst[i2]};
       Mat3 R;
       Vec3 t;
       if (!triad(c, p, R, t)) continue;
       int inl = 0;
       for (size_t i = 0; i < n; ++i) {
-        Vec3 e = pp[i] - (mul(R, pc[i]) + t);
-        double thr = 0.02 + 0.01 * pc[i].z;
+        Vec3 e = dst[i] - (mul(R, src[i]) + t);
+        double thr = 0.02 + 0.01 * src[i].z;
         if (dot(e, e) < thr * thr) ++inl;
       }
       if (inl > best_inl) {
@@ -429,30 +483,166 @@ struct Tracker {
       }
     }
     if (best_inl < 6) return 0;
-    // refine with Horn on the inlier set
     std::vector<Vec3> ic, ip;
     for (size_t i = 0; i < n; ++i) {
-      Vec3 e = pp[i] - (mul(bestR, pc[i]) + bestT);
-      double thr = 0.02 + 0.01 * pc[i].z;
+      Vec3 e = dst[i] - (mul(bestR, src[i]) + bestT);
+      double thr = 0.02 + 0.01 * src[i].z;
       if (dot(e, e) < thr * thr) {
-        ic.push_back(pc[i]);
-        ip.push_back(pp[i]);
+        ic.push_back(src[i]);
+        ip.push_back(dst[i]);
       }
     }
+    out.R = bestR;
+    out.t = bestT;
     Mat3 R = bestR;
     Vec3 t = bestT;
-    if (!horn(ic, ip, R, t)) {
-      R = bestR;
-      t = bestT;
+    if (horn(ic, ip, R, t)) {
+      out.R = R;
+      out.t = t;
     }
-    for (int i = 0; i < 3; ++i)
-      for (int j = 0; j < 3; ++j) pose_out[4 * i + j] = R.m[i][j];
-    pose_out[3] = t.x;
-    pose_out[7] = t.y;
-    pose_out[11] = t.z;
-    pose_out[12] = pose_out[13] = pose_out[14] = 0;
-    pose_out[15] = 1;
     return best_inl;
+  }
+
+  // collect 3D-3D pairs from matches (a=src frame, b=dst frame)
+  static void pairs(const Frame &a, const Frame &b,
+                    const std::vector<std::pair<int, int>> &m,
+                    std::vector<Vec3> &src, std::vector<Vec3> &dst) {
+    src.clear();
+    dst.clear();
+    for (auto &pr : m) {
+      if (a.kps[pr.first].has3d && b.kps[pr.second].has3d) {
+        src.push_back(a.kps[pr.first].p3d);
+        dst.push_back(b.kps[pr.second].p3d);
+      }
+    }
+  }
+
+  // align cur (camera frame) against one keyframe (world frame): gives
+  // T_world<-cam directly. Gated by projecting kf world points through a
+  // pose guess when supplied.
+  int align_to_kf(const Frame &cur, const Keyframe &kf, const Pose *guess_w2c,
+                  Pose &abs_out) {
+    std::vector<std::pair<float, float>> pred;
+    const std::vector<std::pair<float, float>> *pp = nullptr;
+    if (guess_w2c) {
+      pred.assign(cur.kps.size(), {-1.f, -1.f});
+      pp = &pred;  // predictions are per-CURRENT keypoint; project each
+      // current 3D point into the KEYFRAME image via kf's w2c and the guess
+      Pose kf_w2c = inverse(kf.pose);
+      for (size_t i = 0; i < cur.kps.size(); ++i) {
+        if (!cur.kps[i].has3d) continue;
+        Vec3 pw = apply(inverse(*guess_w2c), cur.kps[i].p3d);
+        Vec3 pk = apply(kf_w2c, pw);
+        if (pk.z <= 0.05) continue;
+        pred[i] = {(float)(fx * pk.x / pk.z + cx),
+                   (float)(fy * pk.y / pk.z + cy)};
+      }
+    }
+    std::vector<std::pair<int, int>> m;
+    match(cur, kf.frame, m, pp, 60.f);
+    std::vector<Vec3> src, dst;
+    pairs(cur, kf.frame, m, src, dst);
+    return ransac_align(src, dst, abs_out);  // cam pts -> world pts
+  }
+
+  int track2(const uint8_t *gray, const float *depth, const double *prior_rel,
+             double *rel_out, double *abs_out, int *kf_inliers) {
+    Frame cur;
+    detect(gray, W, H, max_feats, 12, cur.kps);
+    describe(gray, W, H, cur.kps, cur.desc);
+    lift(depth, cur.kps);
+    *kf_inliers = -1;
+    int n_inl = -1;
+
+    if (has_prev) {
+      // frame-to-frame, projectively gated by the ICP prior when given
+      std::vector<std::pair<float, float>> pred;
+      const std::vector<std::pair<float, float>> *pp = nullptr;
+      if (prior_rel) {
+        Pose prior = pose_from16(prior_rel);  // T_prev<-curr
+        pred.assign(cur.kps.size(), {-1.f, -1.f});
+        for (size_t i = 0; i < cur.kps.size(); ++i) {
+          if (!cur.kps[i].has3d) continue;
+          Vec3 q = apply(prior, cur.kps[i].p3d);
+          if (q.z <= 0.05) continue;
+          pred[i] = {(float)(fx * q.x / q.z + cx),
+                     (float)(fy * q.y / q.z + cy)};
+        }
+        pp = &pred;
+      }
+      std::vector<std::pair<int, int>> m;
+      match(cur, prev, m, pp, 40.f);
+      std::vector<Vec3> src, dst;
+      pairs(cur, prev, m, src, dst);
+      Pose rel;
+      n_inl = ransac_align(src, dst, rel);
+      if (n_inl > 0) pose_to16(rel, rel_out);
+
+      // keyframe alignment: last keyframe first, then relocalization scan
+      if (!kfs.empty()) {
+        Pose abs_p;
+        int best = align_to_kf(cur, kfs.back(), nullptr, abs_p);
+        if (best >= 10) {
+          *kf_inliers = best;
+          pose_to16(abs_p, abs_out);
+        } else if (n_inl < 8) {
+          // both trackers weak: relocalize against stored keyframes
+          for (int k = (int)kfs.size() - 2; k >= 0 &&
+               k >= (int)kfs.size() - 16; --k) {
+            int inl = align_to_kf(cur, kfs[(size_t)k], nullptr, abs_p);
+            if (inl >= 15) {
+              *kf_inliers = inl;
+              pose_to16(abs_p, abs_out);
+              break;
+            }
+          }
+        }
+      }
+      last_kf_inliers = *kf_inliers;
+    }
+    prev = cur;
+    cur_pending = std::move(cur);
+    has_pending = true;
+    has_prev = true;
+    return n_inl;
+  }
+
+  // commit the fused world pose for the frame from the last track2 call;
+  // lifts its keypoints to world and inserts a keyframe on enough motion
+  // (ref ORB-SLAM2 NeedNewKeyFrame, simplified to motion + match quality)
+  void accept_pose(const double *pose_w16) {
+    if (!has_pending) return;
+    Pose pose_w = pose_from16(pose_w16);
+    ++frames_since_kf;
+    bool need = kfs.empty();
+    if (!need) {
+      Vec3 dt = pose_w.t - last_kf_pose.t;
+      double tr = 0;
+      for (int i = 0; i < 3; ++i)
+        for (int j = 0; j < 3; ++j)
+          tr += pose_w.R.m[i][j] * last_kf_pose.R.m[i][j];
+      double cos_ang = std::max(-1.0, std::min(1.0, (tr - 1.0) / 2.0));
+      need = norm(dt) > 0.15 || std::acos(cos_ang) > 10.0 * M_PI / 180.0 ||
+             (frames_since_kf > 30 && last_kf_inliers < 30);
+    }
+    if (need) {
+      Keyframe kf;
+      kf.frame = cur_pending;
+      for (auto &k : kf.frame.kps)
+        if (k.has3d) k.p3d = apply(pose_w, k.p3d);   // cam -> world
+      kf.pose = pose_w;
+      kfs.push_back(std::move(kf));
+      last_kf_pose = pose_w;
+      frames_since_kf = 0;
+      if (kfs.size() > 256) kfs.erase(kfs.begin(), kfs.begin() + 64);
+    }
+    has_pending = false;
+  }
+
+  int track(const uint8_t *gray, const float *depth, double *pose_out) {
+    double abs16[16];
+    int kf_inl;
+    return track2(gray, depth, nullptr, pose_out, abs16, &kf_inl);
   }
 };
 
@@ -479,7 +669,32 @@ int ob_track(void *h, const uint8_t *gray, const float *depth,
   return static_cast<Tracker *>(h)->track(gray, depth, pose_out);
 }
 
-void ob_reset(void *h) { static_cast<Tracker *>(h)->has_prev = false; }
+int ob_track2(void *h, const uint8_t *gray, const float *depth,
+              const double *prior_rel, double *rel_out, double *abs_out,
+              int *kf_inliers) {
+  for (int i = 0; i < 16; ++i) {
+    rel_out[i] = (i % 5 == 0) ? 1.0 : 0.0;
+    abs_out[i] = (i % 5 == 0) ? 1.0 : 0.0;
+  }
+  return static_cast<Tracker *>(h)->track2(gray, depth, prior_rel, rel_out,
+                                           abs_out, kf_inliers);
+}
+
+void ob_accept_pose(void *h, const double *pose_w16) {
+  static_cast<Tracker *>(h)->accept_pose(pose_w16);
+}
+
+int ob_num_keyframes(void *h) {
+  return (int)static_cast<Tracker *>(h)->kfs.size();
+}
+
+void ob_reset(void *h) {
+  auto *t = static_cast<Tracker *>(h);
+  t->has_prev = false;
+  t->has_pending = false;
+  t->kfs.clear();
+  t->frames_since_kf = 0;
+}
 
 void ob_destroy(void *h) { delete static_cast<Tracker *>(h); }
 

@@ -1,0 +1,51 @@
+"""Overlapped (loose/free) tracker-mapper mode: device-side pose chain.
+
+In loose/free sync the ICP pose stays on device (`Camera.set_pose_device`),
+the failure check is one frame late (ref loose mode, system.py:19-24), and
+results must match the strict mode's trajectory/shape up to float order.
+"""
+
+import numpy as np
+
+from dqo_map_tpu.config import default_config
+from dqo_map_tpu.data.synthetic import synthetic_sequence
+from dqo_map_tpu.slam.system import SLAMSystem
+
+
+def _run(sync_method, n=4):
+    cfg = default_config(
+        type="Synthetic", save_path=f"/tmp/overlap_{sync_method}",
+        use_object=False, use_gt_pose=False, icp_use_model_depth=False,
+        capacity=8192, add_capacity=2048, uniform_sample_num=800,
+        gaussian_update_frame=2, gaussian_update_iter=6,
+        stable_confidence_thres=6, min_depth=0.1, max_depth=8.0,
+        memory_length=3, sync_tracker2mapper_method=sync_method,
+        sync_tracker2mapper_frames=2,
+    )
+    _, cams = synthetic_sequence(n, width=64, height=48)
+    system = SLAMSystem(cfg, cameras=cams)
+    for i in range(n):
+        system.step(cams[i], i)
+        system.mapping.time += 1
+    return system
+
+
+def test_free_mode_matches_strict_trajectory():
+    s_strict = _run("strict")
+    s_free = _run("free")
+    assert s_free.tracker.async_pose
+    es_s = s_strict.tracker._poses_np()
+    es_f = s_free.tracker._poses_np()
+    assert len(es_s) == len(es_f)
+    for a, b in zip(es_s, es_f):
+        np.testing.assert_allclose(a, b, atol=1e-4)
+    # device poses were actually used (at least one frame carries one or
+    # was synced from one)
+    ate = s_free.tracker.eval_ate_series()
+    assert np.isfinite(ate)
+
+
+def test_loose_mode_runs():
+    s = _run("loose", n=4)
+    u, st = s.mapping.counts()
+    assert u + st > 100

@@ -61,7 +61,7 @@ def _scene(F=8, W=32, H=32, P=96):
     }
     settings = RenderSettings(width=W, height=H, impl="ref")
     lrs = {"xyz": 1e-3, "sh": 5e-4, "scaling": 4e-3, "rotation": 1e-3,
-           "opacity": 0.0}
+           "opacity": 0.0, "sem_rgb": 0.0}
     weights = {"color": 0.8, "depth": 1.0, "normal": 0.0, "ssim": 0.0}
     return state, frames, settings, lrs, weights
 

@@ -82,3 +82,52 @@ def test_fusion_falls_back_to_icp():
     # ICP also failed -> constant velocity (identity rel)
     pose2 = be.track(blank, icp_rel, icp_success=False)
     assert np.allclose(pose2, pose)
+
+
+def _shift_frame(big, shift_px, W, H, z, fx):
+    img = big[:, shift_px:W + shift_px]
+    depth = np.full((H, W), z, np.float32)
+    K = np.array([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1]], np.float32)
+    return FakeFrame(img, depth, K)
+
+
+def test_keyframe_anchor_bounds_drift():
+    """Out-and-back trajectory: frame-to-frame odometry accumulates error,
+    the keyframe store (ref ORB-SLAM2 keyframe map) re-anchors the pose so
+    returning to the start recovers ~the identity pose."""
+    _ensure_lib()
+    from dqo_map_tpu.slam.pose_backend import PoseBackend
+
+    class Args:
+        orb_useicp = False
+        orb_max_feats = 800
+
+    W, H, z, fx = 320, 240, 2.0, 160.0
+    max_shift = 12
+    rng = np.random.default_rng(5)
+    big = rng.uniform(0, 1, (H, W + max_shift, 3)).astype(np.float32)
+    for _ in range(2):
+        big = 0.25 * (np.roll(big, 1, 0) + np.roll(big, -1, 0)
+                      + np.roll(big, 1, 1) + np.roll(big, -1, 1))
+    big = 0.5 * big + 0.5 * (big > big.mean())
+
+    shifts = list(range(0, max_shift + 1, 2)) + list(range(max_shift, -1, -2))
+    be = PoseBackend(Args())
+    poses = []
+    for s in shifts:
+        f = _shift_frame(big, s, W, H, z, fx)
+        if not be.poses:
+            be.ingest(f)
+            be.poses.append(np.eye(4))
+            be.commit(np.eye(4))
+            poses.append(np.eye(4))
+        else:
+            poses.append(be.track(f, None, False))
+    assert be.num_keyframes() >= 1
+    # at the end we are back at the start: translation error must be small
+    # (pure odometry would accumulate per-step noise over 12 steps)
+    end_err = np.linalg.norm(poses[-1][:3, 3])
+    assert end_err < 0.02, f"end-of-loop drift {end_err:.4f} m"
+    # middle of the sweep: translation ~ max_shift * z / fx
+    mid = poses[len(shifts) // 2]
+    assert abs(mid[0, 3] - max_shift * z / fx) < 0.03

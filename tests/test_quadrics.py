@@ -151,3 +151,29 @@ def test_object_layer_end_to_end():
         assert d < 0.5, f"object center off by {d}"
     iou_log = layer.record_iou(cams[0].K.astype(np.float64))
     assert all(0 <= v <= 1 for v in iou_log.values())
+
+
+def test_association_variants():
+    """qd and iou_qd association (ref ablation, quadrics.py:970-988 +
+    eval_obj/results_accociation/) keep the object count sane and bind
+    detections like the iou default on the synthetic scene."""
+    scene, cams = synthetic_sequence(12, width=160, height=120, n_objects=3,
+                                     with_detections=True)
+    gt_centers = [o["center"] for o in scene.objects]
+    counts = {}
+    for mode in ("iou", "qd", "iou_qd"):
+        cfg = default_config(use_object=True, association=mode)
+        layer = ObjectLayer(cfg)
+        assert layer.association == mode
+        for i, c in enumerate(cams):
+            if not c.detections:
+                continue
+            fm = {"depth_map": jnp.asarray(c.depth)}
+            layer.process_frame(c, fm, i)
+        assert 1 <= len(layer.objects) <= 3 + 2, mode
+        for obj in layer.objects:
+            d = min(np.linalg.norm(obj.ellipsoid_.center_ - g)
+                    for g in gt_centers)
+            assert d < 0.5, (mode, d)
+        counts[mode] = len(layer.objects)
+    assert set(counts) == {"iou", "qd", "iou_qd"}
