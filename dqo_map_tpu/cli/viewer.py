@@ -1,0 +1,177 @@
+"""Interactive map viewer — the reference GUI's slot (`/root/reference/gui/`,
+pyc-only: an Open3D/OpenGL splat viewer fed by `GaussianPacket`s over an
+mp.Queue, wired at slam.py:56-72).
+
+Open3D/OpenGL are unavailable here, so this is a zero-dependency HTTP viewer:
+it serves a small HTML page (WASD/arrow + drag navigation) and renders
+requested camera poses through the SAME rasterizer as the SLAM loop,
+streaming JPEG frames. Works against a saved run directory (PLY + traj) or
+a live `SLAMSystem` (pass `attach(system)` — the map state is snapshotted
+each request, the TPU-side equivalent of the reference's GaussianPacket).
+
+    python -m dqo_map_tpu.cli.viewer --config <cfg> --model <run_dir> \
+        [--port 8090] [--width 640] [--height 480]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>dqo_map_tpu viewer</title><style>
+body{margin:0;background:#111;color:#ddd;font-family:monospace}
+#hud{position:fixed;top:8px;left:8px;background:#0008;padding:6px}
+img{display:block;margin:0 auto;image-rendering:pixelated}
+</style></head><body>
+<div id="hud">drag: look &nbsp; WASD/QE: move &nbsp; 1/2: color|depth
+  <span id="s"></span></div>
+<img id="v" width="%W%" height="%H%">
+<script>
+let yaw=0,pitch=0,pos=[0,0,0],mode='color',drag=null,busy=false;
+const img=document.getElementById('v'),hud=document.getElementById('s');
+function req(){ if(busy) return; busy=true;
+ fetch(`/render?yaw=${yaw}&pitch=${pitch}&x=${pos[0]}&y=${pos[1]}&z=${pos[2]}&mode=${mode}`)
+ .then(r=>r.blob()).then(b=>{img.src=URL.createObjectURL(b);busy=false;})
+ .catch(()=>{busy=false;}); }
+img.onmousedown=e=>{drag=[e.clientX,e.clientY];};
+window.onmouseup=()=>{drag=null;};
+window.onmousemove=e=>{if(!drag)return;
+ yaw+=(e.clientX-drag[0])*0.004; pitch+=(e.clientY-drag[1])*0.004;
+ drag=[e.clientX,e.clientY]; req();};
+window.onkeydown=e=>{const st=0.1,
+ f=[Math.sin(yaw)*Math.cos(pitch),-Math.sin(pitch),Math.cos(yaw)*Math.cos(pitch)],
+ r=[Math.cos(yaw),0,-Math.sin(yaw)];
+ if(e.key=='w')pos=pos.map((p,i)=>p+f[i]*st);
+ if(e.key=='s')pos=pos.map((p,i)=>p-f[i]*st);
+ if(e.key=='a')pos=pos.map((p,i)=>p-r[i]*st);
+ if(e.key=='d')pos=pos.map((p,i)=>p+r[i]*st);
+ if(e.key=='q')pos[1]-=st; if(e.key=='e')pos[1]+=st;
+ if(e.key=='1')mode='color'; if(e.key=='2')mode='depth';
+ req();};
+setInterval(()=>{fetch('/stats').then(r=>r.json()).then(j=>{
+ hud.textContent=` | ${j.n_gaussians} gaussians, frame ${j.frame}`;});},2000);
+req();
+</script></body></html>"""
+
+
+class ViewerState:
+    """Holds the map snapshot + render machinery; thread-safe swap."""
+
+    def __init__(self, cfg, state, width, height, init_pose=None):
+        from ..slam.renderer import Renderer
+        self.lock = threading.Lock()
+        self.state = state
+        self.renderer = Renderer(cfg.map, width, height)
+        self.width, self.height = width, height
+        self.frame_id = -1
+        self.init_pose = np.eye(4) if init_pose is None else init_pose
+        self.fx = 0.9 * width
+
+    def update(self, state, frame_id):
+        with self.lock:
+            self.state = state
+            self.frame_id = frame_id
+
+    def camera(self, yaw, pitch, offset):
+        from ..models.cameras import Camera
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        R_yaw = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        R_pitch = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+        c2w = self.init_pose.copy()
+        c2w[:3, :3] = c2w[:3, :3] @ R_yaw @ R_pitch
+        c2w[:3, 3] += c2w[:3, :3] @ np.asarray(offset)
+        return Camera(uid=0, c2w=c2w, fx=self.fx, fy=self.fx,
+                      cx=self.width / 2, cy=self.height / 2,
+                      width=self.width, height=self.height)
+
+    def render(self, yaw, pitch, offset, mode):
+        from ..slam.renderer import render_state
+        cam = self.camera(yaw, pitch, offset)
+        with self.lock:
+            st = self.state
+        out = render_state(st, cam.render_inputs(), self.renderer.settings,
+                           "global")
+        if mode == "depth":
+            d = np.asarray(out["depth"])
+            dmax = max(float(d.max()), 1e-6)
+            img = np.repeat((d / dmax)[..., None], 3, -1)
+        else:
+            img = np.asarray(out["render"])
+        return np.clip(img * 255, 0, 255).astype(np.uint8)
+
+
+def serve(view: ViewerState, port: int):
+    from PIL import Image
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path.startswith("/render"):
+                from urllib.parse import parse_qs, urlparse
+                q = parse_qs(urlparse(self.path).query)
+                g = lambda k, d=0.0: float(q.get(k, [d])[0])
+                img = view.render(g("yaw"), g("pitch"),
+                                  [g("x"), g("y"), g("z")],
+                                  q.get("mode", ["color"])[0])
+                buf = io.BytesIO()
+                Image.fromarray(img).save(buf, "JPEG", quality=85)
+                self.send_response(200)
+                self.send_header("Content-Type", "image/jpeg")
+                self.end_headers()
+                self.wfile.write(buf.getvalue())
+            elif self.path.startswith("/stats"):
+                with view.lock:
+                    n = int(np.asarray(view.state.status != 0).sum())
+                    fid = view.frame_id
+                body = json.dumps({"n_gaussians": n, "frame": fid}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                page = (_PAGE.replace("%W%", str(view.width))
+                        .replace("%H%", str(view.height)))
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(page.encode())
+
+    srv = ThreadingHTTPServer(("0.0.0.0", port), H)
+    print(f"viewer on http://localhost:{port}/")
+    srv.serve_forever()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--port", type=int, default=8090)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--capacity", type=int, default=1 << 20)
+    args = ap.parse_args()
+
+    from ..config import Config
+    from ..utils.ply import load_map_ply
+    from .metric import find_model
+
+    cfg = Config.from_yaml(args.config)
+    state = load_map_ply(find_model(args.model), args.capacity)
+    import os
+    pose_file = os.path.join(args.model, "save_traj", "pose_es.npy")
+    init = (np.load(pose_file)[0] if os.path.exists(pose_file) else None)
+    view = ViewerState(cfg, state, args.width, args.height, init)
+    serve(view, args.port)
+
+
+if __name__ == "__main__":
+    main()

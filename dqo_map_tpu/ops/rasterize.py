@@ -110,9 +110,15 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
     TH0, TW0 = binning_mod.tile_grid_size(W, H, settings.tile_size)
     P_stat = means3d.shape[0]
     # worst case including per-tile alignment padding, tightened by the
-    # expected duplication factor (over-cap entries are dropped + counted)
+    # expected duplication factor (over-cap entries are dropped + counted);
+    # the budget's alignment allowance is a HALF chunk per tile — the
+    # expected padding, not the worst case (the pack gather and its scatter
+    # VJP scale with this static cap)
     worst = P_stat * settings.max_tiles_per_gaussian + TH0 * TW0 * CHUNK
-    budget = P_stat * settings.entries_per_gaussian + TH0 * TW0 * CHUNK
+    budget = P_stat * settings.entries_per_gaussian + TH0 * TW0 * (CHUNK // 2)
+    # small scenes keep the exact worst case (their cap is cheap; the tight
+    # budget would starve them — every occupied tile pads a full chunk)
+    budget = max(budget, min(worst, 1 << 16))
     entry_cap = min(settings.entry_cap, worst, budget)
     entry_cap = ((entry_cap + CHUNK - 1) // CHUNK) * CHUNK
     max_chunks = max(1, min(settings.max_chunks_per_tile, entry_cap // CHUNK))

@@ -17,7 +17,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..utils.math3d import exp_se3, skew
+from ..utils.math3d import exp_se3
 
 
 def warp_nearest(feat: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
@@ -52,10 +52,15 @@ def icp_residuals_jacobian(vertex0, vertex1, normal0, normal1, mask0, pose10,
     normal_agree = jnp.sum(n0in1 * r_normal1, axis=-1) > normal_threshold_cos
 
     res = jnp.sum(r_normal1 * diff, axis=-1)
-    J_trs = r_normal1.reshape(-1, 3)
-    J_rot = -jnp.einsum("ni,nij->nj", J_trs, skew(v0in1.reshape(-1, 3)),
-                        precision=jax.lax.Precision.HIGHEST)
-    J = jnp.concatenate([J_rot, J_trs], axis=-1).reshape(H, W, 6)
+    # J_rot_j = -sum_i n_i skew(v)_ij = -(n x v), written elementwise — the
+    # (N,3,3)-skew einsum form both materialized 9N floats and hit a Mosaic/
+    # XLA miscompile (TPU worker crash) at some image shapes (e.g. 340x600)
+    nx, ny, nz = r_normal1[..., 0], r_normal1[..., 1], r_normal1[..., 2]
+    vx, vy, vz = v0in1[..., 0], v0in1[..., 1], v0in1[..., 2]
+    J_rot = jnp.stack([-(ny * vz - nz * vy),
+                       -(nz * vx - nx * vz),
+                       -(nx * vy - ny * vx)], axis=-1)
+    J = jnp.concatenate([J_rot, r_normal1], axis=-1)
 
     occ = (~inview) | (jnp.linalg.norm(diff, axis=-1) > distance_threshold)
     invalid = occ | (~mask0) | (~mask1) | (~normal_agree)

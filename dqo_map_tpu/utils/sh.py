@@ -28,38 +28,38 @@ def sh_to_rgb(sh: jnp.ndarray) -> jnp.ndarray:
     return sh * C0 + 0.5
 
 
+def sh_basis(deg: int, dirs: jnp.ndarray) -> jnp.ndarray:
+    """SH basis values (..., K) for K=(deg+1)^2, signs folded in so
+    eval = sum_k basis_k * sh_k."""
+    x = dirs[..., 0]
+    y = dirs[..., 1]
+    z = dirs[..., 2]
+    b = [C0 * jnp.ones_like(x)]
+    if deg > 0:
+        b += [-C1 * y, C1 * z, -C1 * x]
+        if deg > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            b += [C2[0] * xy, C2[1] * yz, C2[2] * (2.0 * zz - xx - yy),
+                  C2[3] * xz, C2[4] * (xx - yy)]
+            if deg > 2:
+                b += [C3[0] * y * (3.0 * xx - yy), C3[1] * xy * z,
+                      C3[2] * y * (4.0 * zz - xx - yy),
+                      C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+                      C3[4] * x * (4.0 * zz - xx - yy),
+                      C3[5] * z * (xx - yy), C3[6] * x * (xx - 3.0 * yy)]
+    return jnp.stack(b, axis=-1)
+
+
 def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """Evaluate SH color. sh: (..., K, 3); dirs: (..., 3) unit. -> (..., 3).
 
     Matches `computeColorFromSH` including the +0.5 offset and clamp-at-zero.
+    One basis-weighted contraction instead of per-coefficient accumulation:
+    the VJP w.r.t. sh is then a single fused outer product — the slice-wise
+    form cost 16 pad+add passes over the full (P,16,3) array in backward.
     """
-    result = C0 * sh[..., 0, :]
-    if deg > 0:
-        x = dirs[..., 0:1]
-        y = dirs[..., 1:2]
-        z = dirs[..., 2:3]
-        result = result - C1 * y * sh[..., 1, :] + C1 * z * sh[..., 2, :] - C1 * x * sh[..., 3, :]
-        if deg > 1:
-            xx, yy, zz = x * x, y * y, z * z
-            xy, yz, xz = x * y, y * z, x * z
-            result = (
-                result
-                + C2[0] * xy * sh[..., 4, :]
-                + C2[1] * yz * sh[..., 5, :]
-                + C2[2] * (2.0 * zz - xx - yy) * sh[..., 6, :]
-                + C2[3] * xz * sh[..., 7, :]
-                + C2[4] * (xx - yy) * sh[..., 8, :]
-            )
-            if deg > 2:
-                result = (
-                    result
-                    + C3[0] * y * (3.0 * xx - yy) * sh[..., 9, :]
-                    + C3[1] * xy * z * sh[..., 10, :]
-                    + C3[2] * y * (4.0 * zz - xx - yy) * sh[..., 11, :]
-                    + C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy) * sh[..., 12, :]
-                    + C3[4] * x * (4.0 * zz - xx - yy) * sh[..., 13, :]
-                    + C3[5] * z * (xx - yy) * sh[..., 14, :]
-                    + C3[6] * x * (xx - 3.0 * yy) * sh[..., 15, :]
-                )
-    result = result + 0.5
+    K = (deg + 1) ** 2
+    basis = sh_basis(deg, dirs)                       # (..., K)
+    result = jnp.sum(basis[..., None] * sh[..., :K, :], axis=-2) + 0.5
     return jnp.maximum(result, 0.0)

@@ -111,3 +111,52 @@ def test_sample_pixels(rng):
     # requesting more than available masked pixels caps at available
     idx2, valid2 = image.sample_pixels(jax.random.key(1), mask, 200, jnp.int32(200))
     assert valid2.sum() == 128
+
+
+def test_viewer_render_and_http(tmp_path):
+    """GUI-viewer slot (ref gui/ pyc): offscreen render + HTTP endpoints."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    import jax.numpy as jnp
+
+    from dqo_map_tpu.cli.viewer import ViewerState, serve
+    from dqo_map_tpu.config import default_config
+    from dqo_map_tpu.models import gaussian_map as gm
+
+    cfg = default_config()
+    state = gm.empty_map(512)
+    rng = np.random.default_rng(0)
+    P = 128
+    xyz = np.stack([rng.uniform(-1, 1, P), rng.uniform(-0.7, 0.7, P),
+                    rng.uniform(1.5, 3.0, P)], -1)
+    new = gm.make_new_points(
+        jnp.asarray(xyz, jnp.float32),
+        jnp.asarray(rng.normal(size=(P, 3)), jnp.float32),
+        jnp.asarray(rng.uniform(0, 1, (P, 3)), jnp.float32),
+        jnp.ones(P, bool), jnp.int32(0), jnp.int32(0), 0.99, (1.0, 1.0, 0.1))
+    new["scaling"] = jnp.full((P, 3), np.log(0.12), jnp.float32)
+    state = gm.add_points(state, new, gm.STABLE)
+
+    view = ViewerState(cfg, state, 64, 48)
+    img = view.render(0.0, 0.0, [0, 0, 0], "color")
+    assert img.shape == (48, 64, 3) and img.max() > 0
+    d = view.render(0.1, 0.0, [0, 0, 0], "depth")
+    assert d.shape == (48, 64, 3)
+
+    port = 18093
+    t = threading.Thread(target=serve, args=(view, port), daemon=True)
+    t.start()
+    import time as _t
+    _t.sleep(0.5)
+    page = urllib.request.urlopen(
+        f"http://localhost:{port}/", timeout=30).read()
+    assert b"dqo_map_tpu viewer" in page
+    stats = _json.loads(urllib.request.urlopen(
+        f"http://localhost:{port}/stats", timeout=30).read())
+    assert stats["n_gaussians"] == P
+    jpg = urllib.request.urlopen(
+        f"http://localhost:{port}/render?yaw=0&pitch=0&x=0&y=0&z=0&mode=color",
+        timeout=60).read()
+    assert jpg[:2] == b"\xff\xd8"    # JPEG magic
