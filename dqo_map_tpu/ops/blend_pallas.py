@@ -4,7 +4,7 @@ TPU-native replacement for `renderCUDA_withMask` (forward.cu:638-866) and
 `BACKWARD::renderCUDA_flat` (backward.cu:809-1065).
 
 v3 design (hardware-profiled; v2 spent 53 ms/fwd at 240k entries):
-- Entries live FEATURE-MAJOR as one dense (24, entry_cap) float32 array —
+- Entries live FEATURE-MAJOR as one dense (16, entry_cap) float32 array —
   entry-major (L, k) layouts with narrow minor dims explode 42-128x under
   XLA's (8,128) tiling and OOM at Replica scale.
 - The binning lays tiles out CHUNK-aligned (`binning.bin_gaussians`), and the
@@ -26,10 +26,10 @@ v3 design (hardware-profiled; v2 spent 53 ms/fwd at 240k entries):
   cumsums and the transmittance recurrence is the same stable multiplicative
   prefix as the forward. No transcendentals beyond exp(power).
 
-Feature rows (24 x entry_cap):
-  0:2 xy | 2:5 conic | 5 opacity (0 when invalid) | 6:9 color | 9 depth
-  | 10:13 mean_c | 13:16 normal_c | 16 scale_max | 17 gauss_id | 18 valid
-  | 19 ndm (normal_c . mean_c) | 20:24 pad.
+Feature rows (16 x entry_cap — 16 sublanes tile perfectly):
+  0:2 xy | 2:5 conic | 5 opacity (0 when invalid; doubles as the validity
+  lane) | 6:9 color | 9 depth (camera z — also the hit plane's mean_c z)
+  | 10:13 normal_c | 13 scale_max | 14 gauss_id | 15 ndm (normal_c.mean_c).
 Gradient rows mirror the feature rows 1:1 (NG == NF), so the VJP w.r.t. the
 feats array IS the kernel output; `pack_entries`' autodiff then spreads it
 back to per-gaussian arrays (including splitting d_ndm into mean_c/normal_c).
@@ -57,8 +57,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .blend import ALPHA_MAX, ALPHA_MIN, BlendParams
 
 CHUNK = 256          # entries per block (= binning alignment)
-NF = 24              # feature rows
-NG = 24              # gradient rows (== NF: row-aligned with features)
+NF = 16              # feature rows
+NG = 16              # gradient rows (== NF: row-aligned with features)
 NA = 8               # per-pixel aux channels
 BIG = 1e30
 
@@ -203,7 +203,7 @@ def _fwd_kernel(block_tile_ref, scal_ref, f_ref, color_ref, aux_ref, nt_ref,
         cw = jnp.max(w, axis=1, keepdims=True)
         ksel = jnp.min(jnp.where(w >= cw, kidx, CHUNK), axis=1, keepdims=True)
         onehot = (kidx == ksel).astype(jnp.float32)
-        cid = jnp.sum(onehot * f[17:18, :], axis=1, keepdims=True)
+        cid = jnp.sum(onehot * f[14:15, :], axis=1, keepdims=True)
         best_w = state[:, S_BESTW:S_BESTW + 1]
         take = cw > best_w
         state[:, S_BESTW:S_BESTW + 1] = jnp.where(take, cw, best_w)
@@ -224,18 +224,18 @@ def _fwd_kernel(block_tile_ref, scal_ref, f_ref, color_ref, aux_ref, nt_ref,
         efirst = (kidx == esel) & eligible
         fsel = efirst.astype(jnp.float32)
 
-        ndr = f[13:14, :] * rx + f[14:15, :] * ry + f[15:16, :] * rz
-        tt = f[19:20, :] / (ndr + 1e-8)
+        ndr = f[10:11, :] * rx + f[11:12, :] * ry + f[12:13, :] * rz
+        tt = f[15:16, :] / (ndr + 1e-8)
         hz = tt * rz
         plane_ok = (
-            jnp.abs(hz - f[12:13, :]) <= f[16:17, :] * params.depth_threshold
+            jnp.abs(hz - f[9:10, :]) <= f[13:14, :] * params.depth_threshold
         ) & (jnp.abs(ndr) >= params.normal_threshold)
         depth_cand = jnp.where(plane_ok, hz, f[9:10, :])
 
         sel_depth = jnp.sum(fsel * depth_cand, axis=1, keepdims=True)
         sel_w = jnp.sum(fsel * a["alpha"] * a["T_prev"], axis=1,
                         keepdims=True)
-        sel_id = jnp.sum(fsel * (f[17:18, :] + 1.0), axis=1,
+        sel_id = jnp.sum(fsel * (f[14:15, :] + 1.0), axis=1,
                          keepdims=True) - 1.0
 
         hit_found = state[:, S_HIT:S_HIT + 1]
@@ -304,22 +304,22 @@ def _bwd_kernel(block_tile_ref, scal_ref, f_ref, dpix_ref, color_ref, aux_ref,
         f = f_ref[:, :]
         d3 = dpix_ref[0, :, 3:4]
         hid = aux_ref[0, :, 0:1]
-        hit_mask = (f[17:18, :] == hid) & (hid >= 0)
-        ndr = f[13:14, :] * rx + f[14:15, :] * ry + f[15:16, :] * rz
+        hit_mask = (f[14:15, :] == hid) & (hid >= 0)
+        ndr = f[10:11, :] * rx + f[11:12, :] * ry + f[12:13, :] * rz
         inv_ndr = 1.0 / (ndr + 1e-8)
-        hz = f[19:20, :] * inv_ndr * rz
+        hz = f[15:16, :] * inv_ndr * rz
         plane_ok = (
-            jnp.abs(hz - f[12:13, :]) <= f[16:17, :] * params.depth_threshold
+            jnp.abs(hz - f[9:10, :]) <= f[13:14, :] * params.depth_threshold
         ) & (jnp.abs(ndr) >= params.normal_threshold)
         dd = jnp.where(hit_mask, d3, 0.0)
         dd_plane = jnp.where(plane_ok, dd, 0.0)
         dd_splat = dd - dd_plane
-        d_ndr = dd_plane * (-f[19:20, :] * inv_ndr * inv_ndr) * rz
+        d_ndr = dd_plane * (-f[15:16, :] * inv_ndr * inv_ndr) * rz
         dent_ref[9:10, :] = jnp.sum(dd_splat, axis=0, keepdims=True)
-        dent_ref[13:14, :] = jnp.sum(d_ndr * rx, axis=0, keepdims=True)
-        dent_ref[14:15, :] = jnp.sum(d_ndr * ry, axis=0, keepdims=True)
-        dent_ref[15:16, :] = jnp.sum(d_ndr * rz, axis=0, keepdims=True)
-        dent_ref[19:20, :] = jnp.sum(dd_plane * inv_ndr * rz, axis=0,
+        dent_ref[10:11, :] = jnp.sum(d_ndr * rx, axis=0, keepdims=True)
+        dent_ref[11:12, :] = jnp.sum(d_ndr * ry, axis=0, keepdims=True)
+        dent_ref[12:13, :] = jnp.sum(d_ndr * rz, axis=0, keepdims=True)
+        dent_ref[15:16, :] = jnp.sum(dd_plane * inv_ndr * rz, axis=0,
                                      keepdims=True)
 
     @pl.when(active & ~saturated)
@@ -481,7 +481,7 @@ def _blend_core_bwd(num_tiles, tile_size, tw, params, bg, res, cts):
         interpret=_interpret(),
     )(block_tile, scal, feats, dcolor, color, aux)[0]
 
-    valid = feats[18:19, :] > 0.5
+    valid = feats[5:6, :] != 0.0            # opacity lane doubles as valid
     dfeats = jnp.where(valid, dent, 0.0)    # rows align with feature rows
     d_bt = np.zeros(block_tile.shape, jdtypes.float0)
     d_nb = np.zeros((), jdtypes.float0)
@@ -492,9 +492,11 @@ _blend_core.defvjp(_blend_core_fwd, _blend_core_bwd)
 
 
 def pack_entries(pre, b, colors, opacities):
-    """Feature-major (24, entry_cap) pack: every row is a dense gather from a
-    stacked (20, P) array — no narrow-minor-dim intermediates. Invalid
-    entries get opacity 0, so the kernel needs no separate validity lane."""
+    """Feature-major (16, entry_cap) pack: every row is a dense gather from a
+    stacked (14, P) array — no narrow-minor-dim intermediates. Invalid
+    entries get opacity 0, which doubles as the validity lane. The hit-plane
+    model needs only mean_c's z (== depth) and ndm = normal_c . mean_c, so
+    mean_c x/y are never shipped."""
     g = b.point_list
     xyT = pre.xy.T
     coT = pre.conic.T
@@ -505,17 +507,15 @@ def pack_entries(pre, b, colors, opacities):
     rows = [
         xyT[0], xyT[1], coT[0], coT[1], coT[2], opacities,
         clT[0], clT[1], clT[2], pre.depth,
-        mcT[0], mcT[1], mcT[2], ncT[0], ncT[1], ncT[2], pre.scale_max,
+        ncT[0], ncT[1], ncT[2], pre.scale_max, ndm,
     ]
-    stacked = jnp.stack(rows + [ndm], axis=0)             # (18, P)
-    feats18 = jnp.take(stacked, g, axis=1)                # (18, L)
+    stacked = jnp.stack(rows, axis=0)                     # (15, P)
+    feats15 = jnp.take(stacked, g, axis=1)                # (15, L)
     val = b.entry_valid.astype(jnp.float32)[None, :]
     gid = g.astype(jnp.float32)[None, :]
-    feats17, ndm_row = feats18[:17], feats18[17:18]
-    op_masked = feats17[5:6] * val
-    pad = jnp.zeros((NF - 20, g.shape[0]), jnp.float32)
+    op_masked = feats15[5:6] * val
     return jnp.concatenate(
-        [feats17[:5], op_masked, feats17[6:17], gid, val, ndm_row, pad],
+        [feats15[:5], op_masked, feats15[6:14], gid, feats15[14:15]],
         axis=0)
 
 
