@@ -75,6 +75,56 @@ def _resolve_impl(impl: str) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "ref"
 
 
+def entry_budget(P_stat: int, settings: RenderSettings):
+    """Static (entry_cap, max_chunks) for a P_stat-gaussian render.
+
+    Worst case including per-tile alignment padding, tightened by the
+    expected duplication factor (over-cap entries are dropped + counted);
+    the budget's alignment allowance is a HALF chunk per tile — the
+    expected padding, not the worst case (the pack gather and its scatter
+    VJP scale with this static cap). Small scenes keep the exact worst
+    case (their cap is cheap; the tight budget would starve them — every
+    occupied tile pads a full chunk).
+    """
+    from .blend_pallas import CHUNK
+    TH0, TW0 = binning_mod.tile_grid_size(
+        settings.width, settings.height, settings.tile_size)
+    worst = P_stat * settings.max_tiles_per_gaussian + TH0 * TW0 * CHUNK
+    budget = P_stat * settings.entries_per_gaussian + TH0 * TW0 * (CHUNK // 2)
+    budget = max(budget, min(worst, 1 << 16))
+    entry_cap = min(settings.entry_cap, worst, budget)
+    entry_cap = ((entry_cap + CHUNK - 1) // CHUNK) * CHUNK
+    max_chunks = max(1, min(settings.max_chunks_per_tile, entry_cap // CHUNK))
+    return entry_cap, max_chunks
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def compute_binning(means3d: jnp.ndarray, scales: jnp.ndarray,
+                    rots: jnp.ndarray, cam: dict, settings: RenderSettings,
+                    tile_mask: Optional[jnp.ndarray] = None,
+                    valid_mask: Optional[jnp.ndarray] = None):
+    """Standalone tile binning for reuse across several renders of the SAME
+    camera + (approximately the same) geometry — e.g. every iteration of an
+    optimize scan. The (P x max_tiles) sort is the most expensive part of a
+    render at map scale; hoisting it out of the iteration loop and passing
+    the result to `rasterize(..., binning=...)` amortizes it. The blend
+    still evaluates alpha from the CURRENT xy/conic, so a cached binning
+    only means a slightly stale tile assignment / depth order while the
+    geometry drifts during optimization."""
+    from .blend_pallas import CHUNK
+    H, W = settings.height, settings.width
+    pre = preprocess(means3d, scales, rots, cam, settings.color_sigma, W, H,
+                     settings.scale_modifier)
+    if valid_mask is not None:
+        pre = pre._replace(valid=pre.valid & valid_mask,
+                           radius=jnp.where(valid_mask, pre.radius, 0.0))
+    entry_cap, max_chunks = entry_budget(means3d.shape[0], settings)
+    return binning_mod.bin_gaussians(
+        pre, W, H, settings.tile_size, settings.max_tiles_per_gaussian,
+        tile_mask, align=CHUNK, entry_cap=entry_cap, max_chunks=max_chunks,
+    )
+
+
 @partial(jax.jit, static_argnames=("settings", "with_normal",
                                    "with_n_touched"))
 def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
@@ -84,7 +134,8 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
               normal_w: Optional[jnp.ndarray] = None,
               valid_mask: Optional[jnp.ndarray] = None,
               with_normal: bool = True,
-              with_n_touched: bool = True) -> dict:
+              with_n_touched: bool = True,
+              binning=None) -> dict:
     """Render a view.
 
     means3d (P,3); scales (P,3) ACTIVATED (exp applied); rots (P,4) normalized
@@ -106,26 +157,16 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
         pre = pre._replace(valid=pre.valid & valid_mask,
                            radius=jnp.where(valid_mask, pre.radius, 0.0))
 
-    from .blend_pallas import CHUNK
-    TH0, TW0 = binning_mod.tile_grid_size(W, H, settings.tile_size)
-    P_stat = means3d.shape[0]
-    # worst case including per-tile alignment padding, tightened by the
-    # expected duplication factor (over-cap entries are dropped + counted);
-    # the budget's alignment allowance is a HALF chunk per tile — the
-    # expected padding, not the worst case (the pack gather and its scatter
-    # VJP scale with this static cap)
-    worst = P_stat * settings.max_tiles_per_gaussian + TH0 * TW0 * CHUNK
-    budget = P_stat * settings.entries_per_gaussian + TH0 * TW0 * (CHUNK // 2)
-    # small scenes keep the exact worst case (their cap is cheap; the tight
-    # budget would starve them — every occupied tile pads a full chunk)
-    budget = max(budget, min(worst, 1 << 16))
-    entry_cap = min(settings.entry_cap, worst, budget)
-    entry_cap = ((entry_cap + CHUNK - 1) // CHUNK) * CHUNK
-    max_chunks = max(1, min(settings.max_chunks_per_tile, entry_cap // CHUNK))
-    b = binning_mod.bin_gaussians(
-        pre, W, H, settings.tile_size, settings.max_tiles_per_gaussian,
-        tile_mask, align=CHUNK, entry_cap=entry_cap, max_chunks=max_chunks,
-    )
+    entry_cap, max_chunks = entry_budget(means3d.shape[0], settings)
+    if binning is None:
+        from .blend_pallas import CHUNK
+        b = binning_mod.bin_gaussians(
+            pre, W, H, settings.tile_size, settings.max_tiles_per_gaussian,
+            tile_mask, align=CHUNK, entry_cap=entry_cap,
+            max_chunks=max_chunks,
+        )
+    else:
+        b = binning    # precomputed via `compute_binning` (same cam/subset)
     TH, TW = binning_mod.tile_grid_size(W, H, settings.tile_size)
     num_tiles = TH * TW
     entry_valid = b.entry_valid

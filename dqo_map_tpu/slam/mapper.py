@@ -200,6 +200,27 @@ def optimize_scan(state: MapState, frames: dict, rand_idx: jnp.ndarray,
     opt_state = adam_init(params)
     confidence0 = state.confidence
 
+    # Bin each frame ONCE: the (P x max_tiles) sort + aligned layout is the
+    # most expensive piece of a render at map scale, and the cameras are
+    # fixed for the whole scan. The blend evaluates alpha from the CURRENT
+    # params every iteration; only the tile assignment / per-tile depth
+    # order is frozen at scan entry (position lr is small — zero for the
+    # stable/global pass — so the drift over `iters` steps is tiny).
+    from .renderer import compute_binning_state
+    F = frames["w2c"].shape[0]
+    per_frame = []
+    for f in range(F):
+        cam_f = {
+            "w2c": frames["w2c"][f], "full_proj": frames["full_proj"][f],
+            "cam_pos": frames["cam_pos"][f],
+            "K": frames["K"], "tan_fovx": frames["tan_fovx"],
+            "tan_fovy": frames["tan_fovy"],
+        }
+        tm_f = frames["tile_mask"][f] if with_tile_mask else None
+        per_frame.append(compute_binning_state(
+            state, cam_f, settings, subset, tm_f, bucket=bucket))
+    binnings = jax.tree.map(lambda *xs: jnp.stack(xs), *per_frame)
+
     def step(carry, it):
         params, opt_state, confidence = carry
         fidx = rand_idx[it]
@@ -211,6 +232,7 @@ def optimize_scan(state: MapState, frames: dict, rand_idx: jnp.ndarray,
             "tan_fovy": frames["tan_fovy"],
         }
         tile_mask = frames["tile_mask"][fidx] if with_tile_mask else None
+        binning = jax.tree.map(lambda x: x[fidx], binnings)
         image_input = {
             "color_map": frames["color"][fidx],
             "depth_map": frames["depth"][fidx],
@@ -226,14 +248,15 @@ def optimize_scan(state: MapState, frames: dict, rand_idx: jnp.ndarray,
         def loss_fn(p):
             st = set_params(state, p)
             out = render_state(st, cam, settings, subset, tile_mask,
-                               bucket=bucket)
+                               bucket=bucket, binning=binning)
             sem = None
             if "semantics_color" in frames:
                 # semantic pass: same geometry rasterized with the semantic
                 # colors (ref render.py:227-246); trains p["sem_rgb"]
                 sem = render_state(st, cam, settings, subset, tile_mask,
                                    colors_precomp=p["sem_rgb"],
-                                   bucket=bucket)["render"]
+                                   bucket=bucket,
+                                   binning=binning)["render"]
             return compute_loss(out, image_input, p, init_stat, opt_mask,
                                 weights, add_depth_thres, use_ssim,
                                 sem_render=sem)

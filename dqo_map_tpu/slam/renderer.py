@@ -109,12 +109,33 @@ def subset_mask(state: MapState, subset: str) -> jnp.ndarray:
     raise ValueError(subset)
 
 
+def compute_binning_state(state: MapState, cam_inputs: dict,
+                          settings: RenderSettings, subset: str = "global",
+                          tile_mask: Optional[jnp.ndarray] = None,
+                          bucket: Optional[int] = None):
+    """Tile binning for a MapState subset, reusable across renders of the
+    same camera (pass to `render_state(..., binning=...)`). Uses the same
+    bucket-prefix slicing as `render_state`, so slot indices line up."""
+    from ..ops.rasterize import compute_binning
+    valid = subset_mask(state, subset)
+    cap = state.capacity
+    if bucket is not None and bucket < cap:
+        return compute_binning(
+            state.xyz[:bucket], state.get_scaling()[:bucket],
+            state.get_rotation()[:bucket], cam_inputs, settings,
+            tile_mask=tile_mask, valid_mask=valid[:bucket])
+    return compute_binning(
+        state.xyz, state.get_scaling(), state.get_rotation(), cam_inputs,
+        settings, tile_mask=tile_mask, valid_mask=valid)
+
+
 def render_state(state: MapState, cam_inputs: dict, settings: RenderSettings,
                  subset: str = "global",
                  tile_mask: Optional[jnp.ndarray] = None,
                  colors_precomp: Optional[jnp.ndarray] = None,
                  bucket: Optional[int] = None,
-                 with_n_touched: bool = False) -> dict:
+                 with_n_touched: bool = False,
+                 binning=None) -> dict:
     """Render a MapState subset.
 
     `bucket` is a STATIC PREFIX length: `add_points` packs alive slots below
@@ -153,6 +174,7 @@ def render_state(state: MapState, cam_inputs: dict, settings: RenderSettings,
             colors, cam_inputs, settings,
             tile_mask=tile_mask, normal_w=sub.get_normal(),
             valid_mask=sl(valid), with_n_touched=with_n_touched,
+            binning=binning,
         )
         if with_n_touched:
             out["n_touched"] = jnp.zeros(cap, jnp.int32).at[:bucket].set(
@@ -168,7 +190,7 @@ def render_state(state: MapState, cam_inputs: dict, settings: RenderSettings,
         state.xyz, state.get_scaling(), state.get_rotation(),
         state.get_opacity(), colors, cam_inputs, settings,
         tile_mask=tile_mask, normal_w=state.get_normal(), valid_mask=valid,
-        with_n_touched=with_n_touched,
+        with_n_touched=with_n_touched, binning=binning,
     )
     out["bucket_overflow"] = jnp.asarray(False)
     return out
