@@ -52,6 +52,9 @@ def main():
         gaussian_update_iter=50, stable_confidence_thres=20,
         global_keyframe_num=3,
         min_depth=0.1, max_depth=8.0, memory_length=5, save_step=10**9,
+        # overlapped mode (ref slam_mp loose sync): the host never blocks on
+        # the device queue inside a frame; readbacks ride async mirrors
+        sync_tracker2mapper_method="loose", sync_tracker2mapper_frames=6,
     )
     _, cams = synthetic_sequence(frames, width=W, height=H,
                                  with_detections=True)

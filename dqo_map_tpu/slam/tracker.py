@@ -201,7 +201,8 @@ class Tracker:
                 vp0, np0, *self._curr_pyr, self.K, self.icp_cfg
             )
             if self.async_pose and self.pose_backend is None:
-                # deferred failure check: previous frame's residual
+                # deferred failure check: previous frame's residual (its host
+                # copy was prefetched last frame, so the read is ~free)
                 if self._pending_p2p is not None:
                     p_prev = float(jax.device_get(self._pending_p2p))
                     if p_prev > self.icp_cfg.fail_threshold:
@@ -210,6 +211,15 @@ class Tracker:
                                                None)
                 self._pending_p2p = p2p
                 pose_dev = _compose_pose(self._pose_dev(), pose10)
+                # start async D2H mirrors now: every later host consumer
+                # (sync_pose for keyframe checks / object layer, the p2p
+                # check above, final trajectory save) reads a warm copy
+                # instead of paying the tunnel's fresh-readback latency
+                try:
+                    p2p.copy_to_host_async()
+                    pose_dev.copy_to_host_async()
+                except Exception:
+                    pass
                 self.move_last_status()
                 self.pose_es.append(pose_dev)
                 frame.set_pose_device(pose_dev)

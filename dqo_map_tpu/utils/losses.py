@@ -37,33 +37,56 @@ def psnr(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
 
 
 @lru_cache(maxsize=4)
-def _gaussian_window(window_size: int, sigma: float):
+def _gaussian_taps(window_size: int, sigma: float):
+    """1-D Gaussian taps as NUMPY (cached values must not be traced arrays —
+    a jnp constant created inside a jit leaks its tracer into later traces)."""
     xs = np.arange(window_size)
     g = np.exp(-((xs - window_size // 2) ** 2) / (2 * sigma**2))
-    g = g / g.sum()
-    w2d = np.outer(g, g).astype(np.float32)
-    return jnp.asarray(w2d)
+    return (g / g.sum()).astype(np.float32)
+
+
+def _gaussian_window(window_size: int, sigma: float):
+    g = _gaussian_taps(window_size, sigma)
+    return jnp.asarray(np.outer(g, g))
+
+
+def _blur_separable(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
+    """Separable SAME-padded Gaussian blur of (..., H, W) via shift-and-add.
+
+    TPU lowers small depthwise convs (3 channels of an 11x11 window) to
+    near-scalar MXU work — the 2x11-tap shift form is pure VPU streaming,
+    ~50x faster fwd and bwd (shifts transpose to shifts).
+    """
+    k = len(taps)
+    r = k // 2
+    H, W = x.shape[-2], x.shape[-1]
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(r, r), (0, 0)])
+    y = 0.0
+    for i in range(k):
+        y = y + taps[i] * jax.lax.slice_in_dim(xp, i, i + H, axis=x.ndim - 2)
+    yp = jnp.pad(y, [(0, 0)] * (x.ndim - 2) + [(0, 0), (r, r)])
+    z = 0.0
+    for i in range(k):
+        z = z + taps[i] * jax.lax.slice_in_dim(yp, i, i + W, axis=x.ndim - 1)
+    return z
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
     """Mean SSIM over a (C,H,W) pair with SAME padding, matching
-    `utils/loss_utils.py:62-100` (window sigma 1.5, C1=0.01^2, C2=0.03^2)."""
-    C = img1.shape[0]
-    w = _gaussian_window(window_size, 1.5)
-    kern = jnp.broadcast_to(w[None, None], (C, 1, window_size, window_size))
+    `utils/loss_utils.py:62-100` (window sigma 1.5, C1=0.01^2, C2=0.03^2).
 
-    def conv(x):
-        return jax.lax.conv_general_dilated(
-            x[None], kern, (1, 1), "SAME", feature_group_count=C,
-            precision=jax.lax.Precision.HIGHEST,
-        )[0]
-
-    mu1 = conv(img1)
-    mu2 = conv(img2)
+    All five window means run as ONE stacked separable blur; zero-padded
+    borders match the reference's conv2d SAME-padding semantics exactly.
+    """
+    taps = _gaussian_taps(window_size, 1.5)
+    stacked = jnp.stack(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=0)
+    m = _blur_separable(stacked, taps)
+    mu1, mu2 = m[0], m[1]
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = conv(img1 * img1) - mu1_sq
-    sigma2_sq = conv(img2 * img2) - mu2_sq
-    sigma12 = conv(img1 * img2) - mu1_mu2
+    sigma1_sq = m[2] - mu1_sq
+    sigma2_sq = m[3] - mu2_sq
+    sigma12 = m[4] - mu1_mu2
     C1, C2 = 0.01**2, 0.03**2
     ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
         (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
@@ -85,21 +108,14 @@ def ms_ssim(img1: jnp.ndarray, img2: jnp.ndarray, levels: int = 5) -> jnp.ndarra
     mcs = []
     val = None
     a, b = img1, img2
+    taps = _gaussian_taps(11, 1.5)
     for i in range(levels):
         # contrast*structure component
-        C = a.shape[0]
-        w = _gaussian_window(11, 1.5)
-        kern = jnp.broadcast_to(w[None, None], (C, 1, 11, 11))
-
-        def conv(x):
-            return jax.lax.conv_general_dilated(
-                x[None], kern, (1, 1), "SAME", feature_group_count=C,
-                precision=jax.lax.Precision.HIGHEST)[0]
-
-        mu1, mu2 = conv(a), conv(b)
-        s1 = conv(a * a) - mu1 * mu1
-        s2 = conv(b * b) - mu2 * mu2
-        s12 = conv(a * b) - mu1 * mu2
+        m = _blur_separable(jnp.stack([a, b, a * a, b * b, a * b], 0), taps)
+        mu1, mu2 = m[0], m[1]
+        s1 = m[2] - mu1 * mu1
+        s2 = m[3] - mu2 * mu2
+        s12 = m[4] - mu1 * mu2
         C1v, C2v = 0.01**2, 0.03**2
         cs = ((2 * s12 + C2v) / (s1 + s2 + C2v)).mean()
         l = ((2 * mu1 * mu2 + C1v) / (mu1 * mu1 + mu2 * mu2 + C1v)).mean()

@@ -13,7 +13,7 @@ def test_knn_matches_bruteforce(rng):
     c = rng.normal(size=(211, 3)).astype(np.float32)
     valid = rng.uniform(size=211) > 0.2
     d, i = knn(jnp.asarray(q), jnp.asarray(c), jnp.asarray(valid), k=3,
-               row_chunk=16, col_chunk=64)
+               row_chunk=16, col_chunk=64, exact=True)
     d, i = np.asarray(d), np.asarray(i)
     d2 = ((q[:, None] - c[None]) ** 2).sum(-1)
     d2[:, ~valid] = np.inf
@@ -23,6 +23,21 @@ def test_knn_matches_bruteforce(rng):
     # indices may differ on ties; distances define correctness
     got_d = np.take_along_axis(d2, i, axis=1)
     np.testing.assert_allclose(got_d, ref_d, rtol=1e-3, atol=1e-4)
+
+
+def test_knn_approx_recall(rng):
+    """The default approx mode (TPU approx_min_k) must find near-nearest
+    neighbors: mean 3-NN distance within 5% of exact (the reference's
+    simple-knn is itself Morton-box approximate)."""
+    q = rng.normal(size=(256, 3)).astype(np.float32)
+    c = rng.normal(size=(2048, 3)).astype(np.float32)
+    valid = np.ones(2048, bool)
+    d_a, _ = knn(jnp.asarray(q), jnp.asarray(c), jnp.asarray(valid), k=3,
+                 row_chunk=64, col_chunk=512)
+    d_e, _ = knn(jnp.asarray(q), jnp.asarray(c), jnp.asarray(valid), k=3,
+                 row_chunk=64, col_chunk=512, exact=True)
+    ratio = np.sqrt(np.asarray(d_a).mean()) / np.sqrt(np.asarray(d_e).mean())
+    assert ratio < 1.05
 
 
 def test_error_accumulation(rng):
