@@ -50,6 +50,7 @@ class PixelState(NamedTuple):
     hit_id: jnp.ndarray        # (n,) int32
     hit_depth: jnp.ndarray     # (n,)
     hit_depth_weight: jnp.ndarray  # (n,)
+    hit_normal: jnp.ndarray    # (n,3) camera-frame normal of the hit entry
 
 
 def init_pixel_state(n: int, dtype=jnp.float32) -> PixelState:
@@ -64,6 +65,7 @@ def init_pixel_state(n: int, dtype=jnp.float32) -> PixelState:
         hit_id=jnp.full((n,), -1, jnp.int32),
         hit_depth=jnp.zeros((n,), dtype),
         hit_depth_weight=jnp.zeros((n,), dtype),
+        hit_normal=jnp.zeros((n, 3), dtype),
     )
 
 
@@ -135,12 +137,19 @@ def blend_chunk(state: PixelState, feats: dict, pix_xy: jnp.ndarray,
     sel_depth = jnp.sum(fsel * depth_cand, axis=0)
     sel_w = jnp.sum(fsel * alpha * T_prev, axis=0)
     sel_id = jnp.sum(first.astype(jnp.int32) * (feats["gauss_id"][:, None] + 1), axis=0) - 1
+    # hit normal (camera frame), differentiable through normal_c only — the
+    # hit selection is integer-valued (naturally stop-gradient), matching the
+    # Pallas VJP's analytic routing of normal cotangents to the hit entry
+    sel_normal = jnp.einsum("kn,kc->nc", jax.lax.stop_gradient(fsel),
+                            feats["normal_c"],
+                            precision=jax.lax.Precision.HIGHEST)
 
     new_hit = (~state.hit_found) & chunk_has
     hit_found = state.hit_found | chunk_has
     hit_id = jnp.where(new_hit, sel_id, state.hit_id)
     hit_depth = jnp.where(new_hit, sel_depth, state.hit_depth)
     hit_depth_weight = jnp.where(new_hit, sel_w, state.hit_depth_weight)
+    hit_normal = jnp.where(new_hit[:, None], sel_normal, state.hit_normal)
 
     n_touched = jnp.sum(contrib & (test_T > 0.5), axis=1).astype(jnp.int32)
 
@@ -149,6 +158,7 @@ def blend_chunk(state: PixelState, feats: dict, pix_xy: jnp.ndarray,
         color=color, weight_sum=weight_sum, end_T=end_T,
         best_w=best_w, best_id=best_id, hit_found=hit_found, hit_id=hit_id,
         hit_depth=hit_depth, hit_depth_weight=hit_depth_weight,
+        hit_normal=hit_normal,
     )
     return new_state, n_touched
 
@@ -206,7 +216,7 @@ def blend_tiles_ref(feats: dict, entry_tile: jnp.ndarray, num_tiles: int,
         return (
             out_color, state.hit_depth, state.hit_id, state.best_id,
             state.best_w, state.hit_depth_weight, state.end_T,
-            state.weight_sum,
+            state.weight_sum, state.hit_normal,
         ), n_touched
 
     outs, n_touched_tiles = jax.lax.map(one_tile, jnp.arange(num_tiles, dtype=jnp.int32))
@@ -220,7 +230,7 @@ def blend_tiles_ref(feats: dict, entry_tile: jnp.ndarray, num_tiles: int,
         )
         return x[:height, :width]
 
-    color, depth, hit_id, best_id, best_w, hdw, end_T, wsum = outs
+    color, depth, hit_id, best_id, best_w, hdw, end_T, wsum, hnorm = outs
     return {
         "render": untile(color, 3),
         "depth": untile(depth),
@@ -230,5 +240,6 @@ def blend_tiles_ref(feats: dict, entry_tile: jnp.ndarray, num_tiles: int,
         "depth_hit_weight": untile(hdw),
         "T_map": untile(end_T),
         "weight_sum": untile(wsum),
+        "normal_c": untile(hnorm, 3),
         "n_touched_entries": n_touched,
     }

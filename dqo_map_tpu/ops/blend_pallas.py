@@ -60,6 +60,7 @@ CHUNK = int(os.environ.get("DQO_CHUNK", 256))  # entries per block (= binning al
 NF = 16              # feature rows
 NG = 16              # gradient rows (== NF: row-aligned with features)
 NA = 8               # per-pixel aux channels
+NC = 8               # differentiable channels: rgb, hit depth, hit normal_c, pad
 BIG = 1e30
 
 
@@ -140,7 +141,7 @@ def _alpha_w(f, px, py, T_carry, T_threshold):
 
 # state scratch columns (fwd)
 (S_T, S_C0, S_C1, S_C2, S_WSUM, S_ENDT, S_BESTW, S_BESTID, S_HIT,
- S_HITID, S_HITD, S_HITDW) = range(12)
+ S_HITID, S_HITD, S_HITDW, S_HITN0, S_HITN1, S_HITN2) = range(15)
 NS = 16
 
 
@@ -237,6 +238,9 @@ def _fwd_kernel(block_tile_ref, scal_ref, f_ref, color_ref, aux_ref, nt_ref,
                         keepdims=True)
         sel_id = jnp.sum(fsel * (f[14:15, :] + 1.0), axis=1,
                          keepdims=True) - 1.0
+        sel_n0 = jnp.sum(fsel * f[10:11, :], axis=1, keepdims=True)
+        sel_n1 = jnp.sum(fsel * f[11:12, :], axis=1, keepdims=True)
+        sel_n2 = jnp.sum(fsel * f[12:13, :], axis=1, keepdims=True)
 
         hit_found = state[:, S_HIT:S_HIT + 1]
         new_hit = (hit_found < 0.5) & (chunk_has > 0.5)
@@ -247,6 +251,12 @@ def _fwd_kernel(block_tile_ref, scal_ref, f_ref, color_ref, aux_ref, nt_ref,
             new_hit, sel_depth, state[:, S_HITD:S_HITD + 1])
         state[:, S_HITDW:S_HITDW + 1] = jnp.where(
             new_hit, sel_w, state[:, S_HITDW:S_HITDW + 1])
+        state[:, S_HITN0:S_HITN0 + 1] = jnp.where(
+            new_hit, sel_n0, state[:, S_HITN0:S_HITN0 + 1])
+        state[:, S_HITN1:S_HITN1 + 1] = jnp.where(
+            new_hit, sel_n1, state[:, S_HITN1:S_HITN1 + 1])
+        state[:, S_HITN2:S_HITN2 + 1] = jnp.where(
+            new_hit, sel_n2, state[:, S_HITN2:S_HITN2 + 1])
 
         state[:, S_T:S_T + 1] = a["T_next"]
 
@@ -260,6 +270,14 @@ def _fwd_kernel(block_tile_ref, scal_ref, f_ref, color_ref, aux_ref, nt_ref,
     color_ref[0, :, 1:2] = state[:, S_C1:S_C1 + 1] + end_T * bg[1]
     color_ref[0, :, 2:3] = state[:, S_C2:S_C2 + 1] + end_T * bg[2]
     color_ref[0, :, 3:4] = state[:, S_HITD:S_HITD + 1]
+    # channels 4:7 carry the hit entry's camera-frame normal — differentiable
+    # like depth: the bwd kernel routes their cotangents to the hit entry's
+    # normal_c rows (TPU-native replacement for the reference's normal map
+    # scatter, render.py:211-214, whose gather-VJP is a 33 ms/iter scatter)
+    color_ref[0, :, 4:5] = state[:, S_HITN0:S_HITN0 + 1]
+    color_ref[0, :, 5:6] = state[:, S_HITN1:S_HITN1 + 1]
+    color_ref[0, :, 6:7] = state[:, S_HITN2:S_HITN2 + 1]
+    color_ref[0, :, 7:8] = jnp.zeros((tile_size * tile_size, 1), jnp.float32)
     aux_ref[0, :, 0:1] = state[:, S_HITID:S_HITID + 1]
     aux_ref[0, :, 1:2] = state[:, S_BESTID:S_BESTID + 1]
     aux_ref[0, :, 2:3] = jnp.maximum(state[:, S_BESTW:S_BESTW + 1], 0.0)
@@ -315,10 +333,15 @@ def _bwd_kernel(block_tile_ref, scal_ref, f_ref, dpix_ref, color_ref, aux_ref,
         dd_plane = jnp.where(plane_ok, dd, 0.0)
         dd_splat = dd - dd_plane
         d_ndr = dd_plane * (-f[15:16, :] * inv_ndr * inv_ndr) * rz
+        # hit-normal channels (4:7): cotangents route straight to the hit
+        # entry's normal_c rows, additively with the hit-depth d_ndr terms
+        dn0 = jnp.where(hit_mask, dpix_ref[0, :, 4:5], 0.0)
+        dn1 = jnp.where(hit_mask, dpix_ref[0, :, 5:6], 0.0)
+        dn2 = jnp.where(hit_mask, dpix_ref[0, :, 6:7], 0.0)
         dent_ref[9:10, :] = jnp.sum(dd_splat, axis=0, keepdims=True)
-        dent_ref[10:11, :] = jnp.sum(d_ndr * rx, axis=0, keepdims=True)
-        dent_ref[11:12, :] = jnp.sum(d_ndr * ry, axis=0, keepdims=True)
-        dent_ref[12:13, :] = jnp.sum(d_ndr * rz, axis=0, keepdims=True)
+        dent_ref[10:11, :] = jnp.sum(d_ndr * rx + dn0, axis=0, keepdims=True)
+        dent_ref[11:12, :] = jnp.sum(d_ndr * ry + dn1, axis=0, keepdims=True)
+        dent_ref[12:13, :] = jnp.sum(d_ndr * rz + dn2, axis=0, keepdims=True)
         dent_ref[15:16, :] = jnp.sum(dd_plane * inv_ndr * rz, axis=0,
                                      keepdims=True)
 
@@ -409,7 +432,7 @@ def _fwd_call(feats, block_tile, nb, scal, num_tiles, tile_size, tw, params,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, n_px, 4), out_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_px, NC), out_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_px, NA), out_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, CHUNK), lambda b, *_: (0, b),
                          memory_space=pltpu.VMEM),
@@ -422,7 +445,7 @@ def _fwd_call(feats, block_tile, nb, scal, num_tiles, tile_size, tw, params,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles + 1, n_px, 4), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles + 1, n_px, NC), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles + 1, n_px, NA), jnp.float32),
             jax.ShapeDtypeStruct((1, feats.shape[1]), jnp.float32),
         ],
@@ -462,8 +485,8 @@ def _blend_core_bwd(num_tiles, tile_size, tw, params, bg, res, cts):
         in_specs=[
             pl.BlockSpec((NF, CHUNK), lambda b, *_: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_px, 4), px_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_px, 4), px_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_px, NC), px_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_px, NC), px_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_px, NA), px_index, memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -540,7 +563,7 @@ def blend_tiles_pallas(pre, b, entry_valid, colors, opacities, num_tiles,
 
     # tiles with no entries never flush a block: paste their init values
     empty = (b.tile_offsets[1:] == b.tile_offsets[:-1])[:, None, None]
-    bgv = jnp.asarray(bg_static + (0.0,), jnp.float32)
+    bgv = jnp.asarray(bg_static + (0.0,) * (NC - 3), jnp.float32)
     color = jnp.where(empty, bgv[None, None, :], color)
     aux_init = jnp.asarray([-1.0, -1.0, 0.0, 0.0, 1.0, 0.0, 1.0, 0.0],
                            jnp.float32)
@@ -556,6 +579,8 @@ def blend_tiles_pallas(pre, b, entry_valid, colors, opacities, num_tiles,
     return {
         "render": render,
         "depth": untile(color[:, :, 3]),
+        "normal_c": jnp.stack([untile(color[:, :, 4 + c]) for c in range(3)],
+                              axis=-1),
         "depth_index_map": jnp.round(untile(aux[:, :, 0])).astype(jnp.int32),
         "color_index_map": jnp.round(untile(aux[:, :, 1])).astype(jnp.int32),
         "color_hit_weight": untile(aux[:, :, 2]),

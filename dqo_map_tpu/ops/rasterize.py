@@ -140,8 +140,9 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
 
     means3d (P,3); scales (P,3) ACTIVATED (exp applied); rots (P,4) normalized
     wxyz; opacities (P,) activated; colors (P,3) precomputed RGB (evaluate SH
-    with `eval_colors` first when using SH); normal_w (P,3) world normals for
-    the normal map scatter; valid_mask (P,) excludes dead slots.
+    with `eval_colors` first when using SH); normal_w is accepted for API
+    compatibility but unused — the normal map now comes from the blend's hit
+    normal channels (see below); valid_mask (P,) excludes dead slots.
     Returns dict of (H,W[,C]) maps + per-gaussian n_touched (P,).
 
     with_n_touched=False skips the entries->gaussian scatter-add (~10 ms at
@@ -207,11 +208,21 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
     else:
         out["n_touched"] = jnp.zeros((P,), jnp.int32)
 
-    # normal map scatter (ref `SLAM/render.py:211-214`)
-    if with_normal and normal_w is not None:
-        idx = jax.lax.stop_gradient(out["depth_index_map"])
-        nm = normal_w[jnp.clip(idx, 0)]
-        out["normal"] = jnp.where((idx >= 0)[..., None], nm, 0.0)
+    # normal map (ref `SLAM/render.py:211-214`): the blend emits the hit
+    # entry's camera-frame normal as differentiable channels (its cotangent
+    # is routed to the hit entry inside the kernel, like depth); rotating to
+    # world here is elementwise. The reference's per-pixel gather of world
+    # normals by depth_index_map computes the identical value, but its VJP is
+    # an (H*W,3)->(P,3) scatter-add — 33 ms/iter on TPU at office0 scale.
+    nc = out.pop("normal_c")
+    if with_normal:
+        R = cam["w2c"][:3, :3]       # world->cam; n_w = R^T n_c
+        n0, n1, n2 = nc[..., 0], nc[..., 1], nc[..., 2]
+        out["normal"] = jnp.stack([
+            R[0, 0] * n0 + R[1, 0] * n1 + R[2, 0] * n2,
+            R[0, 1] * n0 + R[1, 1] * n1 + R[2, 1] * n2,
+            R[0, 2] * n0 + R[1, 2] * n1 + R[2, 2] * n2,
+        ], axis=-1)
     else:
         out["normal"] = jnp.zeros((H, W, 3), jnp.float32)
 

@@ -172,7 +172,7 @@ def render_state(state: MapState, cam_inputs: dict, settings: RenderSettings,
         out = rasterize(
             xyz, sub.get_scaling(), sub.get_rotation(), sub.get_opacity(),
             colors, cam_inputs, settings,
-            tile_mask=tile_mask, normal_w=sub.get_normal(),
+            tile_mask=tile_mask,
             valid_mask=sl(valid), with_n_touched=with_n_touched,
             binning=binning,
         )
@@ -189,7 +189,7 @@ def render_state(state: MapState, cam_inputs: dict, settings: RenderSettings,
     out = rasterize(
         state.xyz, state.get_scaling(), state.get_rotation(),
         state.get_opacity(), colors, cam_inputs, settings,
-        tile_mask=tile_mask, normal_w=state.get_normal(), valid_mask=valid,
+        tile_mask=tile_mask, valid_mask=valid,
         with_n_touched=with_n_touched, binning=binning,
     )
     out["bucket_overflow"] = jnp.asarray(False)

@@ -92,3 +92,55 @@ def test_pallas_gradients_match_ref(rng):
         scale = np.abs(b).max() + 1e-8
         np.testing.assert_allclose(a / scale, b / scale, atol=2e-4,
                                    err_msg=name)
+
+
+def test_pallas_normal_map_and_grads_match_ref(rng):
+    """The hit-normal channels: values match the ref impl AND the old
+    gather-by-index formulation; the cos-loss gradient wrt quaternions
+    matches between the Pallas VJP routing and ref autodiff."""
+    cam, means, scales, q, opac, colors = make_scene(rng, P=60, W=48, H=32)
+    out_p = _run("pallas", cam, means, scales, q, opac, colors)
+    out_r = _run("ref", cam, means, scales, q, opac, colors)
+    np.testing.assert_allclose(np.asarray(out_p["normal"]),
+                               np.asarray(out_r["normal"]), atol=1e-5)
+
+    # old formulation: world min-scale axis gathered by depth_index_map
+    from dqo_map_tpu.ops.projection import min_scale_axis
+    nw = np.asarray(min_scale_axis(jnp.asarray(scales, jnp.float32),
+                                   jnp.asarray(q, jnp.float32)))
+    idx = np.asarray(out_r["depth_index_map"])
+    expect = np.where((idx >= 0)[..., None], nw[np.clip(idx, 0, None)], 0.0)
+    np.testing.assert_allclose(np.asarray(out_r["normal"]), expect, atol=1e-5)
+    assert (idx >= 0).any()
+
+    gtn = rng.normal(size=(cam.height, cam.width, 3)).astype(np.float32)
+    gtn /= np.linalg.norm(gtn, axis=-1, keepdims=True)
+    gtn = jnp.asarray(gtn)
+
+    def loss_fn(impl):
+        settings = RenderSettings(width=cam.width, height=cam.height,
+                                  impl=impl, max_tiles_per_gaussian=16)
+
+        def f(q_):
+            out = rasterize(jnp.asarray(means, jnp.float32),
+                            jnp.asarray(scales, jnp.float32), q_,
+                            jnp.asarray(opac, jnp.float32),
+                            jnp.asarray(colors, jnp.float32),
+                            cam.render_inputs(), settings)
+            n = out["normal"]
+            m = out["depth_index_map"] >= 0
+            cos = 1.0 - jnp.sum(n * gtn, -1) / (
+                jnp.linalg.norm(n, axis=-1) + 1e-8)
+            return jnp.where(m, cos, 0.0).mean()
+
+        return f
+
+    qj = jnp.asarray(q, jnp.float32)
+    lp, gp = jax.value_and_grad(loss_fn("pallas"))(qj)
+    lr, gr = jax.value_and_grad(loss_fn("ref"))(qj)
+    np.testing.assert_allclose(float(lp), float(lr), rtol=1e-5)
+    gp, gr = np.asarray(gp), np.asarray(gr)
+    assert np.isfinite(gp).all()
+    assert np.abs(gr).max() > 0
+    scale = np.abs(gr).max() + 1e-8
+    np.testing.assert_allclose(gp / scale, gr / scale, atol=2e-4)
