@@ -156,6 +156,9 @@ def _fwd_kernel(block_tile_ref, scal_ref, f_ref, color_ref, aux_ref, nt_ref,
     n_px = tile_size * tile_size
     is_first = jnp.logical_or(
         bidx == 0, block_tile_ref[jnp.maximum(bidx - 1, 0)] != t)
+    is_last = jnp.logical_or(
+        bidx + 1 >= pl.num_programs(0),
+        block_tile_ref[jnp.minimum(bidx + 1, pl.num_programs(0) - 1)] != t)
     active = t >= 0
     nt_ref[0:1, :] = jnp.zeros((1, CHUNK), jnp.float32)
 
@@ -189,22 +192,29 @@ def _fwd_kernel(block_tile_ref, scal_ref, f_ref, color_ref, aux_ref, nt_ref,
             (contrib & (test_T > 0.5)).astype(jnp.float32), axis=0,
             keepdims=True)
 
+        # ONE MXU dot for [color x3 | wsum]: rows 6:9 are colors; row 5
+        # replaced by ones via arithmetic (opacity lane not reusable) — use
+        # a 4-row matrix built from f rows without concat: dot w with colors
+        # gives 3 cols; wsum rides as sum over lanes fused into the same dot
+        # by appending the gid row scaled to 1? Cheapest correct form: 3-col
+        # dot + separate reduce (reduce is 1 pass).
         Cd = jax.lax.dot_general(                   # (n, 3)
             w, f[6:9, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
-        state[:, S_C0:S_C0 + 1] = state[:, S_C0:S_C0 + 1] + Cd[:, 0:1]
-        state[:, S_C1:S_C1 + 1] = state[:, S_C1:S_C1 + 1] + Cd[:, 1:2]
-        state[:, S_C2:S_C2 + 1] = state[:, S_C2:S_C2 + 1] + Cd[:, 2:3]
-        state[:, S_WSUM:S_WSUM + 1] = (
-            state[:, S_WSUM:S_WSUM + 1] + jnp.sum(w, axis=1, keepdims=True))
+        wsum = jnp.sum(w, axis=1, keepdims=True)
+        state[:, S_C0:S_C2 + 1] = state[:, S_C0:S_C2 + 1] + Cd
+        state[:, S_WSUM:S_WSUM + 1] = state[:, S_WSUM:S_WSUM + 1] + wsum
 
         # first-max color contributor (strict >, earliest max wins)
         kidx = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
         cw = jnp.max(w, axis=1, keepdims=True)
         ksel = jnp.min(jnp.where(w >= cw, kidx, CHUNK), axis=1, keepdims=True)
         onehot = (kidx == ksel).astype(jnp.float32)
-        cid = jnp.sum(onehot * f[14:15, :], axis=1, keepdims=True)
+        cid = jax.lax.dot_general(
+            onehot, f[14:15, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         best_w = state[:, S_BESTW:S_BESTW + 1]
         take = cw > best_w
         state[:, S_BESTW:S_BESTW + 1] = jnp.where(take, cw, best_w)
@@ -216,76 +226,78 @@ def _fwd_kernel(block_tile_ref, scal_ref, f_ref, color_ref, aux_ref, nt_ref,
         state[:, S_ENDT:S_ENDT + 1] = jnp.minimum(
             state[:, S_ENDT:S_ENDT + 1], chunk_end)
 
-        # hit-Gaussian depth model (ref forward.cu:779-810): first entry with
-        # alpha_raw >= opaque_threshold, selected by min-index
-        eligible = (~a["skip"]) & (a["alpha_raw"] >= params.opaque_threshold)
-        esel = jnp.min(jnp.where(eligible, kidx, CHUNK), axis=1,
-                       keepdims=True)
-        chunk_has = (esel < CHUNK).astype(jnp.float32)
-        efirst = (kidx == esel) & eligible
-        fsel = efirst.astype(jnp.float32)
-
-        ndr = f[10:11, :] * rx + f[11:12, :] * ry + f[12:13, :] * rz
-        tt = f[15:16, :] / (ndr + 1e-8)
-        hz = tt * rz
-        plane_ok = (
-            jnp.abs(hz - f[9:10, :]) <= f[13:14, :] * params.depth_threshold
-        ) & (jnp.abs(ndr) >= params.normal_threshold)
-        depth_cand = jnp.where(plane_ok, hz, f[9:10, :])
-
-        sel_depth = jnp.sum(fsel * depth_cand, axis=1, keepdims=True)
-        sel_w = jnp.sum(fsel * a["alpha"] * a["T_prev"], axis=1,
-                        keepdims=True)
-        sel_id = jnp.sum(fsel * (f[14:15, :] + 1.0), axis=1,
-                         keepdims=True) - 1.0
-        sel_n0 = jnp.sum(fsel * f[10:11, :], axis=1, keepdims=True)
-        sel_n1 = jnp.sum(fsel * f[11:12, :], axis=1, keepdims=True)
-        sel_n2 = jnp.sum(fsel * f[12:13, :], axis=1, keepdims=True)
-
-        hit_found = state[:, S_HIT:S_HIT + 1]
-        new_hit = (hit_found < 0.5) & (chunk_has > 0.5)
-        state[:, S_HIT:S_HIT + 1] = jnp.maximum(hit_found, chunk_has)
-        state[:, S_HITID:S_HITID + 1] = jnp.where(
-            new_hit, sel_id, state[:, S_HITID:S_HITID + 1])
-        state[:, S_HITD:S_HITD + 1] = jnp.where(
-            new_hit, sel_depth, state[:, S_HITD:S_HITD + 1])
-        state[:, S_HITDW:S_HITDW + 1] = jnp.where(
-            new_hit, sel_w, state[:, S_HITDW:S_HITDW + 1])
-        state[:, S_HITN0:S_HITN0 + 1] = jnp.where(
-            new_hit, sel_n0, state[:, S_HITN0:S_HITN0 + 1])
-        state[:, S_HITN1:S_HITN1 + 1] = jnp.where(
-            new_hit, sel_n1, state[:, S_HITN1:S_HITN1 + 1])
-        state[:, S_HITN2:S_HITN2 + 1] = jnp.where(
-            new_hit, sel_n2, state[:, S_HITN2:S_HITN2 + 1])
-
         state[:, S_T:S_T + 1] = a["T_next"]
 
-    # keep output block current; the final grid step for this tile flushes
-    # it. Channel 3 carries the hit depth — making it a `color` channel (not
-    # aux) keeps it DIFFERENTIABLE: its cotangent arrives in the bwd kernel
-    # as dpix channel 3 and is routed to the hit entry analytically
-    # (ref backward.cu:997-1065), with no XLA-side depth recompute.
-    end_T = state[:, S_ENDT:S_ENDT + 1]
-    color_ref[0, :, 0:1] = state[:, S_C0:S_C0 + 1] + end_T * bg[0]
-    color_ref[0, :, 1:2] = state[:, S_C1:S_C1 + 1] + end_T * bg[1]
-    color_ref[0, :, 2:3] = state[:, S_C2:S_C2 + 1] + end_T * bg[2]
-    color_ref[0, :, 3:4] = state[:, S_HITD:S_HITD + 1]
-    # channels 4:7 carry the hit entry's camera-frame normal — differentiable
-    # like depth: the bwd kernel routes their cotangents to the hit entry's
-    # normal_c rows (TPU-native replacement for the reference's normal map
-    # scatter, render.py:211-214, whose gather-VJP is a 33 ms/iter scatter)
-    color_ref[0, :, 4:5] = state[:, S_HITN0:S_HITN0 + 1]
-    color_ref[0, :, 5:6] = state[:, S_HITN1:S_HITN1 + 1]
-    color_ref[0, :, 6:7] = state[:, S_HITN2:S_HITN2 + 1]
-    color_ref[0, :, 7:8] = jnp.zeros((tile_size * tile_size, 1), jnp.float32)
-    aux_ref[0, :, 0:1] = state[:, S_HITID:S_HITID + 1]
-    aux_ref[0, :, 1:2] = state[:, S_BESTID:S_BESTID + 1]
-    aux_ref[0, :, 2:3] = jnp.maximum(state[:, S_BESTW:S_BESTW + 1], 0.0)
-    aux_ref[0, :, 3:4] = state[:, S_HITDW:S_HITDW + 1]
-    aux_ref[0, :, 4:5] = end_T
-    aux_ref[0, :, 5:6] = state[:, S_WSUM:S_WSUM + 1]
-    aux_ref[0, :, 6:7] = state[:, S_T:S_T + 1]
-    aux_ref[0, :, 7:8] = state[:, S_HITD:S_HITD + 1]
+        # hit-Gaussian depth model (ref forward.cu:779-810): first entry
+        # with alpha_raw >= opaque_threshold, selected by min-index. Skipped
+        # for whole blocks once every pixel has its hit (common from the
+        # 2nd chunk of a tile on).
+        hit_found = state[:, S_HIT:S_HIT + 1]
+
+        @pl.when(jnp.min(hit_found) < 0.5)
+        def _hits():
+            eligible = (~a["skip"]) & (
+                a["alpha_raw"] >= params.opaque_threshold)
+            esel = jnp.min(jnp.where(eligible, kidx, CHUNK), axis=1,
+                           keepdims=True)
+            chunk_has = (esel < CHUNK).astype(jnp.float32)
+            efirst = (kidx == esel) & eligible
+            fsel = efirst.astype(jnp.float32)
+
+            ndr = f[10:11, :] * rx + f[11:12, :] * ry + f[12:13, :] * rz
+            tt = f[15:16, :] / (ndr + 1e-8)
+            hz = tt * rz
+            plane_ok = (
+                jnp.abs(hz - f[9:10, :])
+                <= f[13:14, :] * params.depth_threshold
+            ) & (jnp.abs(ndr) >= params.normal_threshold)
+            depth_cand = jnp.where(plane_ok, hz, f[9:10, :])
+
+            # per-ENTRY rows ride ONE MXU dot: [id+1, n0, n1, n2]; the two
+            # per-(pixel,entry) selections (depth_cand, alpha*T_prev) stay
+            # as fused reduce passes.
+            sel4 = jax.lax.dot_general(             # (n, 4)
+                fsel, f[10:14, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            sel_id = jax.lax.dot_general(
+                fsel, f[14:15, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            sel_depth = jnp.sum(fsel * depth_cand, axis=1, keepdims=True)
+            sel_w = jnp.sum(fsel * a["alpha"] * a["T_prev"], axis=1,
+                            keepdims=True)
+
+            new_hit = (hit_found < 0.5) & (chunk_has > 0.5)
+            state[:, S_HIT:S_HIT + 1] = jnp.maximum(hit_found, chunk_has)
+            # slab update of [S_HITID, S_HITD, S_HITDW, S_HITN0..2] (cols
+            # 9..14 are contiguous by construction)
+            cand = jnp.concatenate(
+                [sel_id, sel_depth, sel_w, sel4[:, 0:3]], axis=1)
+            state[:, S_HITID:S_HITN2 + 1] = jnp.where(
+                new_hit, cand, state[:, S_HITID:S_HITN2 + 1])
+
+    # flush the output block only on the LAST grid step of its tile (the
+    # blockspec re-DMAs the out block on every index change; writing it on
+    # every step costs ~30 (n_px,1) column writes per block)
+    @pl.when(is_last)
+    def _flush():
+        end_T = state[:, S_ENDT:S_ENDT + 1]
+        # color channels 0:3 + differentiable hit depth (3) + hit normal
+        # (4:7, routed to the hit entry in the bwd kernel) + pad
+        color_ref[0, :, 0:3] = state[:, S_C0:S_C2 + 1] + jnp.concatenate(
+            [end_T * bg[0], end_T * bg[1], end_T * bg[2]], axis=1)
+        color_ref[0, :, 3:4] = state[:, S_HITD:S_HITD + 1]
+        color_ref[0, :, 4:7] = state[:, S_HITN0:S_HITN2 + 1]
+        color_ref[0, :, 7:8] = jnp.zeros((n_px, 1), jnp.float32)
+        aux_ref[0, :, 0:1] = state[:, S_HITID:S_HITID + 1]
+        aux_ref[0, :, 1:2] = state[:, S_BESTID:S_BESTID + 1]
+        aux_ref[0, :, 2:3] = jnp.maximum(state[:, S_BESTW:S_BESTW + 1], 0.0)
+        aux_ref[0, :, 3:4] = state[:, S_HITDW:S_HITDW + 1]
+        aux_ref[0, :, 4:5] = end_T
+        aux_ref[0, :, 5:6] = state[:, S_WSUM:S_WSUM + 1]
+        aux_ref[0, :, 6:7] = state[:, S_T:S_T + 1]
+        aux_ref[0, :, 7:8] = state[:, S_HITD:S_HITD + 1]
 
 
 # ---------------------------------------------------------------------------
@@ -310,40 +322,49 @@ def _bwd_kernel(block_tile_ref, scal_ref, f_ref, dpix_ref, color_ref, aux_ref,
     saturated = jnp.max(sstate[:, 0:1]) < params.T_threshold
 
     # hit-depth gradient (ref backward.cu:997-1065): each pixel's depth
-    # cotangent routes to its HIT entry only. Runs for every active chunk —
-    # the hit entry can sit past the alpha-saturation point (CUDA keeps
-    # scanning until the hit is found). plane branch: hz = ndm/(ndr+eps)*rz
-    # -> d_ndm (row 19; pack autodiff spreads it over mean_c & normal_c) and
-    # d_normal_c via ndr (rows 13:16); splat branch: depth = f9 -> row 9.
-    # Branch choice and hit selection are stop-gradient, exactly like CUDA.
+    # cotangent routes to its HIT entry only. Checked for every active chunk
+    # (the hit entry can sit past the alpha-saturation point — CUDA keeps
+    # scanning until the hit is found) but the math only runs when some
+    # pixel's hit id actually lands in this chunk. plane branch:
+    # hz = ndm/(ndr+eps)*rz -> d_ndm (row 15; pack autodiff spreads it over
+    # mean_c & normal_c) and d_normal_c via ndr (rows 10:13); splat branch:
+    # depth = f9 -> row 9. Branch choice and hit selection are
+    # stop-gradient, exactly like CUDA.
     @pl.when(active)
     def _depth_grads():
-        px, py, rx, ry, rz = _tile_pixels(t, tw, tile_size, scal_ref)
         f = f_ref[:, :]
-        d3 = dpix_ref[0, :, 3:4]
         hid = aux_ref[0, :, 0:1]
         hit_mask = (f[14:15, :] == hid) & (hid >= 0)
-        ndr = f[10:11, :] * rx + f[11:12, :] * ry + f[12:13, :] * rz
-        inv_ndr = 1.0 / (ndr + 1e-8)
-        hz = f[15:16, :] * inv_ndr * rz
-        plane_ok = (
-            jnp.abs(hz - f[9:10, :]) <= f[13:14, :] * params.depth_threshold
-        ) & (jnp.abs(ndr) >= params.normal_threshold)
-        dd = jnp.where(hit_mask, d3, 0.0)
-        dd_plane = jnp.where(plane_ok, dd, 0.0)
-        dd_splat = dd - dd_plane
-        d_ndr = dd_plane * (-f[15:16, :] * inv_ndr * inv_ndr) * rz
-        # hit-normal channels (4:7): cotangents route straight to the hit
-        # entry's normal_c rows, additively with the hit-depth d_ndr terms
-        dn0 = jnp.where(hit_mask, dpix_ref[0, :, 4:5], 0.0)
-        dn1 = jnp.where(hit_mask, dpix_ref[0, :, 5:6], 0.0)
-        dn2 = jnp.where(hit_mask, dpix_ref[0, :, 6:7], 0.0)
-        dent_ref[9:10, :] = jnp.sum(dd_splat, axis=0, keepdims=True)
-        dent_ref[10:11, :] = jnp.sum(d_ndr * rx + dn0, axis=0, keepdims=True)
-        dent_ref[11:12, :] = jnp.sum(d_ndr * ry + dn1, axis=0, keepdims=True)
-        dent_ref[12:13, :] = jnp.sum(d_ndr * rz + dn2, axis=0, keepdims=True)
-        dent_ref[15:16, :] = jnp.sum(dd_plane * inv_ndr * rz, axis=0,
-                                     keepdims=True)
+
+        @pl.when(jnp.any(hit_mask))
+        def _route():
+            px, py, rx, ry, rz = _tile_pixels(t, tw, tile_size, scal_ref)
+            d3 = dpix_ref[0, :, 3:4]
+            ndr = f[10:11, :] * rx + f[11:12, :] * ry + f[12:13, :] * rz
+            inv_ndr = 1.0 / (ndr + 1e-8)
+            hz = f[15:16, :] * inv_ndr * rz
+            plane_ok = (
+                jnp.abs(hz - f[9:10, :])
+                <= f[13:14, :] * params.depth_threshold
+            ) & (jnp.abs(ndr) >= params.normal_threshold)
+            dd = jnp.where(hit_mask, d3, 0.0)
+            dd_plane = jnp.where(plane_ok, dd, 0.0)
+            dd_splat = dd - dd_plane
+            d_ndr = dd_plane * (-f[15:16, :] * inv_ndr * inv_ndr) * rz
+            # hit-normal channels (4:7): cotangents route straight to the
+            # hit entry's normal_c rows, additively with the d_ndr terms
+            dn0 = jnp.where(hit_mask, dpix_ref[0, :, 4:5], 0.0)
+            dn1 = jnp.where(hit_mask, dpix_ref[0, :, 5:6], 0.0)
+            dn2 = jnp.where(hit_mask, dpix_ref[0, :, 6:7], 0.0)
+            dent_ref[9:10, :] = jnp.sum(dd_splat, axis=0, keepdims=True)
+            dent_ref[10:11, :] = jnp.sum(d_ndr * rx + dn0, axis=0,
+                                         keepdims=True)
+            dent_ref[11:12, :] = jnp.sum(d_ndr * ry + dn1, axis=0,
+                                         keepdims=True)
+            dent_ref[12:13, :] = jnp.sum(d_ndr * rz + dn2, axis=0,
+                                         keepdims=True)
+            dent_ref[15:16, :] = jnp.sum(dd_plane * inv_ndr * rz, axis=0,
+                                         keepdims=True)
 
     @pl.when(active & ~saturated)
     def _process():

@@ -203,7 +203,7 @@ def main():
             from dqo_map_tpu.slam.mapper import optimize_scan
             entries = []
             for cam_i, fm in m.processed_frames:
-                from dqo_map_tpu.slam.renderer import render_range_step
+                from dqo_map_tpu.slam.mapper import render_range_step
                 rm, tm = render_range_step(m.state, cam_i, m.settings, False,
                                            -1.0, None, ts, bucket=m.bucket)
                 entries.append({
