@@ -99,6 +99,48 @@ def entry_budget(P_stat: int, settings: RenderSettings):
 
 
 @partial(jax.jit, static_argnames=("settings",))
+def coverage_tile_mask(means3d: jnp.ndarray, scales: jnp.ndarray,
+                       rots: jnp.ndarray, cam: dict,
+                       settings: RenderSettings,
+                       valid_mask: Optional[jnp.ndarray] = None):
+    """Sort-free (TH, TW) tile mask: tiles whose 16x16 rect overlaps ANY
+    valid gaussian's projected extent. The per-tile coverage count is a sum
+    of rank-1 interval outer products — one (TH, P) x (P, TW) matmul on the
+    MXU — so the whole mask costs ~1 ms where a subset render (the previous
+    way to get `evaluate_render_range`'s transmission mask, ref
+    mapper.py:930-988) paid the full binning sort.
+
+    Superset semantics vs the reference's T-map mask: every tile that could
+    receive gradient from a masked gaussian is included (the T!=1 render
+    mask additionally drops tiles whose accumulated alpha stayed ~0), which
+    only adds tiles whose loss terms have zero gradient w.r.t. the
+    optimized subset."""
+    H, W = settings.height, settings.width
+    ts = settings.tile_size
+    TH, TW = binning_mod.tile_grid_size(W, H, ts)
+    pre = preprocess(means3d, scales, rots, cam, settings.color_sigma, W, H,
+                     settings.scale_modifier)
+    valid = pre.valid if valid_mask is None else (pre.valid & valid_mask)
+    xy = jax.lax.stop_gradient(pre.xy)
+    radius = jnp.where(valid, jax.lax.stop_gradient(pre.radius), -1.0)
+    # same rect math as `binning.bin_gaussians` (ref getRect,
+    # auxiliary.h:49-57); xmax/ymax are EXCLUSIVE tile bounds
+    xmin = jnp.floor((xy[:, 0] - radius) / ts)
+    xmax = jnp.floor((xy[:, 0] + radius + ts - 1) / ts)
+    ymin = jnp.floor((xy[:, 1] - radius) / ts)
+    ymax = jnp.floor((xy[:, 1] + radius + ts - 1) / ts)
+    tx = jnp.arange(TW, dtype=jnp.float32)
+    ty = jnp.arange(TH, dtype=jnp.float32)
+    Ax = ((tx[None, :] >= xmin[:, None]) & (tx[None, :] < xmax[:, None])
+          & (radius > 0)[:, None]).astype(jnp.float32)      # (P, TW)
+    Ay = ((ty[None, :] >= ymin[:, None])
+          & (ty[None, :] < ymax[:, None])).astype(jnp.float32)  # (P, TH)
+    cov = jax.lax.dot_general(Ay, Ax, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (TH, TW)
+    return (cov > 0.5).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("settings",))
 def compute_binning(means3d: jnp.ndarray, scales: jnp.ndarray,
                     rots: jnp.ndarray, cam: dict, settings: RenderSettings,
                     tile_mask: Optional[jnp.ndarray] = None,

@@ -827,9 +827,16 @@ class Mapping:
         ts = self.settings.tile_size
         t0 = _now()
         entries = []
+        from .renderer import coverage_mask_state
         for cam, fm in self.processed_frames:
-            rm, tm = render_range_step(self.state, cam, self.settings, False,
-                                       -1.0, None, ts, bucket=self.bucket)
+            # sort-free projection coverage mask of the unstable subset per
+            # memory frame — replaces a full unstable-subset render (binning
+            # sort included) per frame (ref evaluate_render_range's
+            # transmission mask, mapper.py:930-988; superset semantics: the
+            # extra tiles carry zero gradient for the unstable params)
+            tm = coverage_mask_state(self.state, cam, self.settings,
+                                     "unstable", bucket=self.bucket)
+            rm = im.tilemask_to_pixelmask(tm, ts, self.height, self.width)
             entries.append({
                 "color": fm["color_map"], "depth": fm["depth_map"],
                 "normal": fm["normal_map_w"], "render_mask": rm,
@@ -966,7 +973,9 @@ class Mapping:
             self.processed_frames.pop(0)
 
         is_keyframe = False
+        self.did_optimize = False
         if (self.time + 1) % self.args.gaussian_update_frame == 0 or self.time == 0:
+            self.did_optimize = True
             self.optimize_frames_ids.append(frame_id)
             is_keyframe = self.check_keyframe(frame, frame_map, frame_id)
             if not is_keyframe or self.counts()[1] <= 0:

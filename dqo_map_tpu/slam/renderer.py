@@ -129,6 +129,24 @@ def compute_binning_state(state: MapState, cam_inputs: dict,
         settings, tile_mask=tile_mask, valid_mask=valid)
 
 
+def coverage_mask_state(state: MapState, cam_inputs: dict,
+                        settings: RenderSettings, subset: str = "unstable",
+                        bucket: Optional[int] = None):
+    """(TH, TW) projection-coverage tile mask for a MapState subset (the
+    sort-free replacement for the local-optimize transmission range renders,
+    ref `evaluate_render_range` mapper.py:930-988)."""
+    from ..ops.rasterize import coverage_tile_mask
+    valid = subset_mask(state, subset)
+    if bucket is not None and bucket < state.capacity:
+        return coverage_tile_mask(
+            state.xyz[:bucket], state.get_scaling()[:bucket],
+            state.get_rotation()[:bucket], cam_inputs, settings,
+            valid_mask=valid[:bucket])
+    return coverage_tile_mask(state.xyz, state.get_scaling(),
+                              state.get_rotation(), cam_inputs, settings,
+                              valid_mask=valid)
+
+
 def render_state(state: MapState, cam_inputs: dict, settings: RenderSettings,
                  subset: str = "global",
                  tile_mask: Optional[jnp.ndarray] = None,

@@ -77,8 +77,21 @@ class SLAMSystem:
                              defer_finalize=True)
         from .mapper import _now, _pr
         tr = _now()
-        out = self.mapping.get_render_output(frame.render_inputs())
-        _pr("get_render_output", tr, out["depth"])
+        # The end-of-frame model render (ref slam.py:139 get_render_output)
+        # is consumed by (a) the finalize error accumulation and (b) the
+        # tracker's model-depth ICP reference. On frames where no optimize
+        # scan ran and the tracker doesn't fuse model depth, the pre-densify
+        # render from `gaussians_add` (same pose, same map minus this
+        # frame's brand-new points, whose error counters are zero anyway) is
+        # an equivalent input to (a) — skip the second full render.
+        need_fresh = (self.tracker.icp_use_model_depth
+                      or getattr(self.mapping, "did_optimize", True)
+                      or self.mapping.model_map is None)
+        if need_fresh:
+            out = self.mapping.get_render_output(frame.render_inputs())
+            _pr("get_render_output", tr, out["depth"])
+        else:
+            out = self.mapping.model_map
         self.mapping.finalize_frame(out, frame_map)
         self.tracker.update_last_status(
             frame, out["depth"], frame_map["depth_map"], out["normal"],

@@ -132,6 +132,7 @@ class Tracker:
         self.icp_fail_count = 0
         self.save_path: Optional[str] = None   # set by SLAMSystem for dumps
         self._fail_dumps = 0
+        self._fail_pending = []
         self.async_pose = False        # overlapped mode (set by SLAMSystem)
         self._pending_p2p = None
         self._last_pyr = None          # (vertex_pyr, normal_pyr) of frame t0
@@ -267,21 +268,41 @@ class Tracker:
                           pose10: np.ndarray, max_dumps: int = 5):
         """Diagnostics on tracking failure (ref `Tracker` failure dumps,
         SLAM/multiprocess/tracker.py:97-116): the finest-level vertex maps,
-        the rejected relative pose, and the loss, capped at `max_dumps`."""
+        the rejected relative pose, and the loss, capped at `max_dumps`.
+
+        DEFERRED: only device-array references are stashed here; the D2H
+        readback + compressed write (~4 s through a tunnel) happens in
+        `flush_icp_failures` at end of run, never inside a tracked frame."""
         if self.save_path is None or self._fail_dumps >= max_dumps:
+            return
+        self._fail_pending.append({
+            "idx": len(self.pose_es), "p2p": p2p, "pose10": pose10,
+            "vertex_last": (self._last_pyr[0][-1]
+                            if self._last_pyr is not None else None),
+            "vertex_curr": self._curr_pyr[0][-1],
+            "depth": frame_map["depth_map"],
+            "n_fail": self.icp_fail_count,
+        })
+        self._fail_dumps += 1
+
+    def flush_icp_failures(self):
+        """Write the deferred failure diagnostics (called from save_traj)."""
+        if not self._fail_pending or self.save_path is None:
             return
         import os as _os
         d = _os.path.join(self.save_path, "icp_fail")
         _os.makedirs(d, exist_ok=True)
-        vp0 = (np.asarray(self._last_pyr[0][-1])
-               if self._last_pyr is not None else np.zeros(0))
-        vp1 = np.asarray(self._curr_pyr[0][-1])
-        np.savez_compressed(
-            _os.path.join(d, f"fail_{len(self.pose_es):05d}.npz"),
-            p2p=p2p, pose10=pose10, vertex_last=vp0, vertex_curr=vp1,
-            depth=np.asarray(frame_map["depth_map"]),
-            n_fail=self.icp_fail_count)
-        self._fail_dumps += 1
+        for rec in self._fail_pending:
+            np.savez_compressed(
+                _os.path.join(d, f"fail_{rec['idx']:05d}.npz"),
+                p2p=rec["p2p"],
+                pose10=(np.zeros(0) if rec["pose10"] is None
+                        else np.asarray(rec["pose10"])),
+                vertex_last=(np.zeros(0) if rec["vertex_last"] is None
+                             else np.asarray(rec["vertex_last"])),
+                vertex_curr=np.asarray(rec["vertex_curr"]),
+                depth=np.asarray(rec["depth"]), n_fail=rec["n_fail"])
+        self._fail_pending = []
 
     def move_last_status(self):
         self._last_pyr = self._curr_pyr
@@ -317,6 +338,7 @@ class Tracker:
         + final ATE."""
         traj_dir = os.path.join(save_path, "save_traj")
         os.makedirs(traj_dir, exist_ok=True)
+        self.flush_icp_failures()
         pose_es = np.stack(self._poses_np())
         pose_gt = np.stack(self.pose_gt)
         np.save(os.path.join(traj_dir, "pose_es.npy"), pose_es)
