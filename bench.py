@@ -1,7 +1,7 @@
 """Benchmark: tracking+mapping throughput at Replica-office0 scale.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 Workload mirrors the reference's Replica office0 configuration
 (`/root/reference/configs/replica_base.yaml:10-27`): 1200x680 frames,
@@ -11,15 +11,23 @@ Workload mirrors the reference's Replica office0 configuration
 tracker+mapper wall time per frame, and the baseline is the 30 FPS north
 star from BASELINE.json.
 
-Reported to stderr per frame: total ms; at the end: p50/p95/max frame time
-post-warmup, tracker/mapper split, PSNR / depth-L1, and ATE. The JSON
-reports `frames_over_spike_ms` = post-warmup frames above BENCH_SPIKE_MS
-(default 1500): with static-shape padding these are the per-6-frame
-optimize cadences, NOT recompiles; a recompile shows up as a much larger
-outlier in max_ms.
+Two measurement passes over the same system:
+  1. timing pass (async dispatch intact) -> headline FPS, p50/p95/max split
+     by frame class (steady vs the every-6th-frame optimize cadence);
+  2. profile pass (stage timers sync the device) -> per-stage ms table in
+     `stages`, per frame class. The sync overhead makes stage sums slightly
+     exceed the timing pass's frame times; the split, not the sum, is the
+     receipt.
+
+The JSON also reports `dropped_entries` (max render-entry truncation across
+the run — MUST be 0 for an honest quality number), `entries_max` (peak
+sorted-entry usage), `entries_per_s` (peak entries * fps), and
+`warmup_s` (wall time of the pre-measurement frames, dominated by XLA
+compiles; the persistent compilation cache makes re-runs warm up in
+seconds).
 
 Env knobs: BENCH_FRAMES, BENCH_W, BENCH_H, BENCH_WARMUP, BENCH_SAMPLES,
-BENCH_BUCKET, BENCH_SPIKE_MS.
+BENCH_BUCKET, BENCH_SPIKE_MS, BENCH_PROFILE_FRAMES.
 """
 
 import json
@@ -39,9 +47,14 @@ def main():
     samples = int(os.environ.get("BENCH_SAMPLES", 40800))
     bucket = int(os.environ.get("BENCH_BUCKET", 1 << 18))
     spike_ms = float(os.environ.get("BENCH_SPIKE_MS", 1500.0))
+    profile_frames = int(os.environ.get("BENCH_PROFILE_FRAMES", 12))
+
+    from dqo_map_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
 
     from dqo_map_tpu.config import default_config
     from dqo_map_tpu.data.synthetic import synthetic_sequence
+    from dqo_map_tpu.slam import mapper as mapper_mod
     from dqo_map_tpu.slam.system import SLAMSystem
 
     cfg = default_config(
@@ -56,19 +69,33 @@ def main():
         # the device queue inside a frame; readbacks ride async mirrors
         sync_tracker2mapper_method="loose", sync_tracker2mapper_frames=6,
     )
-    _, cams = synthetic_sequence(frames, width=W, height=H,
+    total_frames = frames + profile_frames
+    _, cams = synthetic_sequence(total_frames, width=W, height=H,
                                  with_detections=True)
     system = SLAMSystem(cfg, cameras=cams)
 
+    update_every = cfg.map.gaussian_update_frame
+
+    def frame_class(fid):
+        # mapping() optimizes when (time+1) % update_frame == 0 or time == 0
+        return "optimize" if ((fid + 1) % update_every == 0 or fid == 0) \
+            else "steady"
+
     times, tr_times, mp_times = [], [], []
+    cls_times = {"steady": [], "optimize": []}
+    t_start = time.time()
+    warmup_s = None
     for frame_id in range(frames):
         info = system.step(cams[frame_id], frame_id)
         system.mapping.time += 1
         total = info["tracker_s"] + info["mapper_s"]
+        if frame_id == warmup - 1:
+            warmup_s = time.time() - t_start
         if frame_id >= warmup:
             times.append(total)
             tr_times.append(info["tracker_s"])
             mp_times.append(info["mapper_s"])
+            cls_times[frame_class(frame_id)].append(total)
         print(f"# frame {frame_id}: {1000*total:.1f} ms "
               f"(tracker {1000*info['tracker_s']:.1f})", file=sys.stderr)
 
@@ -81,8 +108,33 @@ def main():
     mean_s = sum(times) / n
     fps = 1.0 / mean_s
 
+    # ---- profile pass: per-stage receipts (device-synced timers) ----
+    mapper_mod.profile_enable(True)
+    mapper_mod.stage_times(reset=True)
+    stage_cls = {"steady": {}, "optimize": {}}
+    for frame_id in range(frames, total_frames):
+        system.step(cams[frame_id], frame_id)
+        system.mapping.time += 1
+        cls = frame_class(frame_id)
+        for tag, ms in mapper_mod.stage_times(reset=True).items():
+            stage_cls[cls].setdefault(tag, []).extend(ms)
+    mapper_mod.profile_enable(False)
+
+    stages = {}
+    for cls, tags in stage_cls.items():
+        stages[cls] = {}
+        for tag, ms in sorted(tags.items()):
+            mean_ms = sum(ms) / len(ms)
+            entry = {"mean_ms": round(mean_ms, 1), "n": len(ms)}
+            if "optimize_scan x" in tag:
+                iters = int(tag.rsplit("x", 1)[1])
+                entry["per_iter_ms"] = round(mean_ms / iters, 2)
+            stages[cls][tag] = entry
+
+    dropped, entries_max = system.mapping.dropped_entries()
+
     from dqo_map_tpu.eval.evaluate import eval_frame
-    m = eval_frame(system.mapping, cams[frames - 1], min_depth=0.1,
+    m = eval_frame(system.mapping, cams[total_frames - 1], min_depth=0.1,
                    max_depth=8.0)
     ate = system.tracker.eval_ate_series()
     print(f"# psnr={m['psnr']:.2f} depth_l1={m['depth_l1_cm']:.2f}cm "
@@ -90,6 +142,12 @@ def main():
     print(f"# p50={1000*p50:.1f} p95={1000*p95:.1f} max={1000*tmax:.1f} ms"
           f"  tracker mean={1000*sum(tr_times)/n:.1f} "
           f"mapper mean={1000*sum(mp_times)/n:.1f}", file=sys.stderr)
+    print(f"# dropped_entries={dropped} entries_max={entries_max}",
+          file=sys.stderr)
+
+    def cls_mean(c):
+        v = cls_times[c]
+        return round(1000 * sum(v) / len(v), 1) if v else None
 
     print(json.dumps({
         "metric": f"tracking+mapping FPS (synthetic office0-scale {W}x{H}, "
@@ -100,8 +158,15 @@ def main():
         "p50_ms": round(1000 * p50, 1),
         "p95_ms": round(1000 * p95, 1),
         "max_ms": round(1000 * tmax, 1),
+        "steady_frame_ms": cls_mean("steady"),
+        "optimize_frame_ms": cls_mean("optimize"),
         "tracker_ms": round(1000 * sum(tr_times) / n, 1),
         "mapper_ms": round(1000 * sum(mp_times) / n, 1),
+        "warmup_s": round(warmup_s, 1) if warmup_s else None,
+        "dropped_entries": dropped,
+        "entries_max": entries_max,
+        "entries_per_s": int(entries_max * fps),
+        "stages": stages,
         "psnr": round(float(m["psnr"]), 2),
         "depth_l1_cm": round(float(m["depth_l1_cm"]), 2),
         "ate_cm": round(float(ate), 3),

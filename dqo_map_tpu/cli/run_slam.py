@@ -24,6 +24,8 @@ def main():
 
     from ..config import Config
     from ..slam.system import SLAMSystem
+    from ..utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
 
     cfg = Config.from_yaml(args.config)
     os.makedirs(cfg.map.save_path, exist_ok=True)

@@ -125,6 +125,12 @@ class MapParams:
     tile_size: int = 16
     max_tiles_per_gaussian: int = 16          # binning duplication cap (TPU)
     rebin_every: int = 1                      # re-sort cadence inside optimize loops
+    # entry-budget knobs (truncation safety; see `ops/rasterize.entry_budget`).
+    # Renders report `dropped_entries` when any cap bites; raise these if a
+    # run ever warns about truncation.
+    entry_cap: int = 1 << 20                  # static sorted-entry capacity
+    entries_per_gaussian: int = 6             # expected tile duplication
+    max_chunks_per_tile: int = 32             # per-tile entry cap / CHUNK
 
     # optimize cadence
     gaussian_update_iter: int = 50

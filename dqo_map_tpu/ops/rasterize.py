@@ -64,6 +64,7 @@ class RenderSettings(NamedTuple):
             tile_size=args.tile_size,
             max_tiles_per_gaussian=args.max_tiles_per_gaussian,
             entry_cap=getattr(args, "entry_cap", 1 << 20),
+            entries_per_gaussian=getattr(args, "entries_per_gaussian", 6),
             max_chunks_per_tile=getattr(args, "max_chunks_per_tile", 32),
             sh_degree=args.active_sh_degree,
         )

@@ -272,6 +272,12 @@ def optimize_scan(state: MapState, frames: dict, rand_idx: jnp.ndarray,
         step, (params, opt_state, confidence0), jnp.arange(iters)
     )
     state = set_params(state, params)._replace(confidence=confidence)
+    # truncation receipts: worst-case dropped entries / entry usage across
+    # the scan's per-frame binnings (VERDICT r02: silent truncation risk)
+    reports["dropped_entries"] = jnp.broadcast_to(
+        jnp.max(binnings.dropped), (iters,))
+    reports["num_entries"] = jnp.broadcast_to(
+        jnp.max(binnings.num_entries), (iters,))
     return state, reports
 
 
@@ -549,18 +555,38 @@ def render_range_step(state: MapState, cam: dict, settings: RenderSettings,
 # ---------------------------------------------------------------------------
 
 _PROFILE = bool(os.environ.get("DQO_PROFILE"))
+_STAGES: dict = {}          # tag -> [ms] while profiling is on
+
+
+def profile_enable(flag: bool = True):
+    """Programmatic switch for the stage timers (bench.py's profile pass).
+    NOTE: each timed stage syncs the device, so profiling mode forfeits the
+    async-dispatch overlap — use it for the breakdown, not the headline FPS."""
+    global _PROFILE
+    _PROFILE = flag
+
+
+def stage_times(reset: bool = False) -> dict:
+    """{tag: [ms, ...]} accumulated since the last reset."""
+    global _STAGES
+    out = {k: list(v) for k, v in _STAGES.items()}
+    if reset:
+        _STAGES = {}
+    return out
 
 
 def _pr(tag, t0, out=None):
-    """DQO_PROFILE=1 stage timing: sync + print. No-op otherwise."""
+    """Stage timing under DQO_PROFILE / profile_enable: sync + record + print.
+    No-op otherwise."""
     if not _PROFILE:
         return
     import sys
     import time as _t
     if out is not None:
         jax.block_until_ready(out)
-    print(f"#   {tag}: {(_t.perf_counter() - t0) * 1000:.1f} ms",
-          file=sys.stderr)
+    ms = (_t.perf_counter() - t0) * 1000
+    _STAGES.setdefault(tag, []).append(ms)
+    print(f"#   {tag}: {ms:.1f} ms", file=sys.stderr)
 
 
 def _now():
@@ -599,7 +625,14 @@ class Mapping:
         self.bucket = min(int(getattr(args, "initial_bucket", 4096) or 4096),
                           args.capacity)
         self.key = jax.random.key(2024)
+        self._host_rng = np.random.default_rng(2024)  # deterministic schedule
         self.last_reports: dict = {}
+        # device-side truncation accumulators (max dropped entries / max
+        # entry count seen across model renders and optimize scans); read
+        # once at end of run via `dropped_entries()` — no per-frame sync
+        self._dropped_dev = jnp.int32(0)
+        self._entries_dev = jnp.int32(0)
+        self._warned_dropped = False
         self.save_path = args.save_path
         from ..utils.monitor import ScalarLogger
         self.logger = ScalarLogger(self.save_path,
@@ -641,7 +674,25 @@ class Mapping:
                                   self.bucket,
                                   bool(getattr(self.args, "use_prune", False)))
         self.model_map = out
+        self._dropped_dev = jnp.maximum(self._dropped_dev,
+                                        out["dropped_entries"])
+        self._entries_dev = jnp.maximum(self._entries_dev,
+                                        out["num_entries"])
         return out
+
+    def dropped_entries(self) -> tuple:
+        """(max dropped entries, max entries used) across the run so far —
+        ONE device sync. Warns once when truncation occurred."""
+        d = int(jax.device_get(self._dropped_dev))
+        e = int(jax.device_get(self._entries_dev))
+        if d > 0 and not self._warned_dropped:
+            self._warned_dropped = True
+            import sys
+            print(f"[mapper] WARNING: render entry truncation occurred "
+                  f"(max {d} entries dropped; raise entry_cap / "
+                  f"entries_per_gaussian / max_chunks_per_tile)",
+                  file=sys.stderr)
+        return d, e
 
     @staticmethod
     @partial(jax.jit, static_argnames=("settings", "bucket", "with_n_touched"))
@@ -709,6 +760,10 @@ class Mapping:
                     < self._rung(need)):
                 self.state = gm.compact(self.state)
                 self._cached_counts = None
+                # compact permutes slot ids: any cached render's index maps
+                # are stale (they'd misattribute pixel errors to the wrong
+                # gaussians in error_remove_from)
+                self.model_map = None
                 u, st, wm = self._counts3()
                 need = wm + add
             self.bucket = max(self.bucket, min(self._rung(need), cap))
@@ -718,7 +773,9 @@ class Mapping:
         model_map = None
         is_first = self.time == 0
         if not is_first:
+            t0 = _now()
             model_map = self.get_render_output(cam)
+            _pr("add/model_render", t0, model_map["depth"])
         cfg = (
             self.args.uniform_sample_num, self.args.add_transmission_thres,
             self.args.transmission_sample_ratio, self.args.add_depth_thres,
@@ -733,11 +790,16 @@ class Mapping:
                 self.state, model_map["n_touched"], cam["w2c"], cam["K"],
                 self.width, self.height, jnp.int32(self.time),
                 self.args.unstable_time_window // 2)
+            # deletes only clear status (no permutation), but the render no
+            # longer matches the map — don't let finalize reuse it
+            self.model_map = None
+        t0 = _now()
         self.state, n_added = densify_step(
             self.state, frame_map, cam, model_map, self._next_key(),
             jnp.int32(self.time), jnp.int32(frame_id), self.settings,
             self.args.add_capacity, cfg, bucket=self.bucket,
         )
+        _pr("add/densify", t0, self.state.xyz)
         self._maybe_compact()
         return n_added
 
@@ -749,6 +811,7 @@ class Mapping:
         if u + st + 2 * self.args.add_capacity > self.state.capacity * 0.9:
             if int(self.state.count) > self.state.capacity * 0.9:
                 self.state = gm.compact(self.state)
+                self.model_map = None      # slot ids moved; index maps stale
                 if int(self.state.count) > self.state.capacity * 0.8:
                     self.state = gm.grow(self.state, self.state.capacity * 2)
 
@@ -816,8 +879,9 @@ class Mapping:
 
     def _rand_schedule(self, iters, n_frames, second_half_last=True):
         """random.randint per iteration, last-frame pinning in the second half
-        (ref mapper.py:568-576)."""
-        idx = np.random.randint(0, n_frames, size=iters).astype(np.int32)
+        (ref mapper.py:568-576). Drawn from a seeded per-mapper Generator so
+        two identical runs produce identical schedules (and trajectories)."""
+        idx = self._host_rng.integers(0, n_frames, size=iters).astype(np.int32)
         if second_half_last:
             idx[iters // 2 + 1:] = n_frames - 1
         return jnp.asarray(idx)
@@ -871,6 +935,10 @@ class Mapping:
             bucket=self.bucket,
         )
         _pr(f"local/optimize_scan x{iters}", t0, self.state.xyz)
+        self._dropped_dev = jnp.maximum(self._dropped_dev,
+                                        reports["dropped_entries"][-1])
+        self._entries_dev = jnp.maximum(self._entries_dev,
+                                        reports["num_entries"][-1])
         t0 = _now()
         self.state = history_merge(
             self.state, history, confidence_pre, opt_mask,
@@ -941,6 +1009,10 @@ class Mapping:
             with_tile_mask=not is_final, subset="stable",
             bucket=self.bucket,
         )
+        self._dropped_dev = jnp.maximum(self._dropped_dev,
+                                        reports["dropped_entries"][-1])
+        self._entries_dev = jnp.maximum(self._entries_dev,
+                                        reports["num_entries"][-1])
         if self.logger.enabled:
             self.last_reports = {k: float(v[-1])
                                  for k, v in jax.device_get(reports).items()}

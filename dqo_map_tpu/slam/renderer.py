@@ -38,6 +38,9 @@ class Renderer:
             T_threshold=args.T_threshold,
             tile_size=args.tile_size,
             max_tiles_per_gaussian=args.max_tiles_per_gaussian,
+            entry_cap=int(getattr(args, "entry_cap", 1 << 20)),
+            entries_per_gaussian=int(getattr(args, "entries_per_gaussian", 6)),
+            max_chunks_per_tile=int(getattr(args, "max_chunks_per_tile", 32)),
             sh_degree=args.active_sh_degree,
         )
 

@@ -1,0 +1,29 @@
+"""Persistent XLA compilation cache (compile-latency hygiene).
+
+The SLAM stack jit-compiles ~20 step functions; a cold office0-scale run
+spends minutes in XLA before the first frame finishes. Enabling JAX's
+persistent compilation cache makes every later invocation (bench re-runs,
+CLI runs, CI) warm up in seconds. The reference has no equivalent concern
+(torch extensions compile at install time)."""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.environ.get(
+    "DQO_COMPILE_CACHE", os.path.expanduser("~/.cache/dqo_map_tpu/xla"))
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> str:
+    """Idempotently turn on jax's persistent compilation cache."""
+    import jax
+
+    d = cache_dir or _DEFAULT_DIR
+    os.makedirs(d, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+    return d

@@ -16,8 +16,14 @@
 //     world-frame 3D + descriptors); every frame is also aligned against
 //     the last keyframe for a drift-free absolute pose, and when both
 //     frame-to-frame and last-keyframe tracking fail, RELOCALIZATION scans
-//     the stored keyframes (most recent first). Loop closing / bundle
-//     adjustment are not implemented (the reference uses g2o for those).
+//     the stored keyframes (most recent first);
+//   * LOOP CLOSING: descriptor-set similarity scores the newest keyframe
+//     against all older-than-min_gap keyframes, the best candidate is
+//     verified by RANSAC 3D-3D alignment, and the measured relative pose
+//     feeds a host-side SE(3) pose-graph relaxation
+//     (dqo_map_tpu/slam/pose_graph.py) that corrects keyframe anchors and
+//     trajectory — the capability slot of the reference's
+//     LoopClosing.cc + g2o Optimizer.
 // Runs on the host CPU alongside the TPU compute path (same split as the
 // reference: feature tracking never touches the accelerator).
 //
@@ -33,6 +39,12 @@
 //   ob_accept_pose(handle, world_pose[16]) — commit the fused world pose of
 //       the frame just tracked; inserts a keyframe on enough motion.
 //   ob_num_keyframes(handle) -> int
+//   ob_detect_loop(handle, min_gap, min_inliers, q_idx*, m_idx*,
+//                  rel16_out) -> inliers (0 = no loop);
+//       rel16_out = T_{cand_cam <- query_cam} loop constraint
+//   ob_get_kf_poses(handle, out, max_n) -> n   (row-major 4x4 each)
+//   ob_set_kf_poses(handle, poses16, n) — pose-graph correction writeback
+//       (re-lifts stored keyframe world points through the delta)
 //   ob_reset(handle)
 //   ob_destroy(handle)
 
@@ -393,6 +405,16 @@ struct Pose {
 static inline Vec3 apply(const Pose &T, const Vec3 &p) {
   return mul(T.R, p) + T.t;
 }
+static inline Pose compose(const Pose &A, const Pose &B) {  // A * B
+  Pose r;
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < 3; ++j) {
+      r.R.m[i][j] = 0;
+      for (int k = 0; k < 3; ++k) r.R.m[i][j] += A.R.m[i][k] * B.R.m[k][j];
+    }
+  r.t = mul(A.R, B.t) + A.t;
+  return r;
+}
 static inline Pose inverse(const Pose &T) {
   Pose r;
   for (int i = 0; i < 3; ++i)
@@ -644,6 +666,90 @@ struct Tracker {
     int kf_inl;
     return track2(gray, depth, nullptr, pose_out, abs16, &kf_inl);
   }
+
+  // ---------------------------------------------------------- loop closing
+  // Capability slot of the reference's ORB-SLAM2 loop detector
+  // (ORB-SLAM2-PYBIND/src/LoopClosing.cc: DBoW2 candidate scoring + Sim3
+  // geometric check). Re-derived without a vocabulary: the newest keyframe's
+  // descriptor SET is scored against every keyframe older than `min_gap`
+  // (fraction of sampled query descriptors with a sub-threshold best Hamming
+  // match), and the best-scoring candidate is verified geometrically by the
+  // same RANSAC 3D-3D alignment the tracker uses. Returns the inlier count
+  // and the measured relative pose T_{cand_cam <- query_cam}, which becomes
+  // the loop edge of the host-side pose graph (slam/pose_graph.py — the g2o
+  // EssentialGraph optimization slot).
+  int detect_loop(int min_gap, int min_inliers, int *q_idx, int *m_idx,
+                  double *rel16) {
+    int N = (int)kfs.size();
+    if (N < min_gap + 2) return 0;
+    const Keyframe &q = kfs.back();
+    int nq = (int)q.frame.kps.size();
+    if (nq < 30) return 0;
+
+    // sample up to 64 query descriptors evenly
+    int ns = nq < 64 ? nq : 64;
+    int stride = nq / ns;
+    int best_c = -1;
+    double best_score = 0.35;  // detection threshold (fraction matched)
+    for (int c = 0; c < N - 1 - min_gap; ++c) {
+      const Frame &f = kfs[(size_t)c].frame;
+      if ((int)f.kps.size() < 30) continue;
+      int hits = 0;
+      for (int si = 0; si < ns; ++si) {
+        const uint64_t *dq = q.frame.desc.data() + 4 * (size_t)(si * stride);
+        int bestd = 257;
+        for (size_t j = 0; j < f.kps.size(); ++j) {
+          int d = hamming(dq, f.desc.data() + 4 * j);
+          if (d < bestd) bestd = d;
+        }
+        if (bestd < 48) ++hits;
+      }
+      double score = (double)hits / ns;
+      if (score > best_score) {
+        best_score = score;
+        best_c = c;
+      }
+    }
+    if (best_c < 0) return 0;
+
+    // geometric verification: query keypoints back in CAMERA frame (the
+    // stored p3d are world-frame — undo the query pose) aligned against the
+    // candidate's world points; the alignment measures T_world_old<-q_cam.
+    Pose q_w2c = inverse(q.pose);
+    std::vector<std::pair<int, int>> m;
+    match(q.frame, kfs[(size_t)best_c].frame, m, nullptr, 0.f);
+    std::vector<Vec3> src, dst;
+    for (auto &pr : m) {
+      const Keypoint &kq = q.frame.kps[(size_t)pr.first];
+      const Keypoint &kc = kfs[(size_t)best_c].frame.kps[(size_t)pr.second];
+      if (kq.has3d && kc.has3d) {
+        src.push_back(apply(q_w2c, kq.p3d));
+        dst.push_back(kc.p3d);
+      }
+    }
+    Pose measured;  // T_world_old <- q_cam
+    int inl = ransac_align(src, dst, measured);
+    if (inl < min_inliers) return 0;
+    Pose rel = compose(inverse(kfs[(size_t)best_c].pose), measured);
+    pose_to16(rel, rel16);
+    *q_idx = N - 1;
+    *m_idx = best_c;
+    return inl;
+  }
+
+  // corrected keyframe poses from the pose-graph solve: re-lift every
+  // keyframe's stored world points through delta = new * old^{-1}
+  void set_kf_poses(const double *poses16, int n) {
+    if (n > (int)kfs.size()) n = (int)kfs.size();
+    for (int i = 0; i < n; ++i) {
+      Pose pnew = pose_from16(poses16 + 16 * (size_t)i);
+      Pose delta = compose(pnew, inverse(kfs[(size_t)i].pose));
+      for (auto &k : kfs[(size_t)i].frame.kps)
+        if (k.has3d) k.p3d = apply(delta, k.p3d);
+      kfs[(size_t)i].pose = pnew;
+    }
+    if (!kfs.empty()) last_kf_pose = kfs.back().pose;
+  }
 };
 
 }  // namespace
@@ -686,6 +792,28 @@ void ob_accept_pose(void *h, const double *pose_w16) {
 
 int ob_num_keyframes(void *h) {
   return (int)static_cast<Tracker *>(h)->kfs.size();
+}
+
+// loop closing: candidate scoring + geometric verification (see
+// Tracker::detect_loop). Returns inliers (0 = no loop); rel16 receives
+// T_{cand_cam <- query_cam}.
+int ob_detect_loop(void *h, int min_gap, int min_inliers, int *q_idx,
+                   int *m_idx, double *rel16) {
+  return static_cast<Tracker *>(h)->detect_loop(min_gap, min_inliers, q_idx,
+                                                m_idx, rel16);
+}
+
+// all keyframe poses (T_world<-cam, row-major 4x4 each); returns count
+int ob_get_kf_poses(void *h, double *out, int max_n) {
+  auto *t = static_cast<Tracker *>(h);
+  int n = (int)t->kfs.size();
+  if (n > max_n) n = max_n;
+  for (int i = 0; i < n; ++i) pose_to16(t->kfs[(size_t)i].pose, out + 16 * i);
+  return n;
+}
+
+void ob_set_kf_poses(void *h, const double *poses16, int n) {
+  static_cast<Tracker *>(h)->set_kf_poses(poses16, n);
 }
 
 void ob_reset(void *h) {
