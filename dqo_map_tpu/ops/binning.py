@@ -1,19 +1,31 @@
-"""Tile binning: duplicate-with-keys + device sort + aligned range layout.
+"""Tile binning: dense cell enumeration + device sort + aligned range layout.
 
 TPU-native replacement for the CUDA pipeline `duplicateWithKeys` -> cub radix
 sort -> `identifyTileRanges` -> host-side `tile_indices` compaction
-(`rasterizer_impl.cu:104-146,347-439`). TPUs want static shapes; the slot
-array is sized by the entry budget (2x entry_cap), filled by a prefix-sum
-over per-gaussian tile counts + gather expansion (a dense P x
-max_tiles_per_gaussian grid sorts 4-5x more slots than exist — and the sort
-IS the binning cost). Invalid slots sort to the end via a sentinel key.
+(`rasterizer_impl.cu:104-146,347-439`).
 
-Keys are fused into a single uint32 (tile | quantized depth) when the tile
-grid fits 12 bits — single-key single-value sorts are the fastest lax.sort
-shape. After the sort, entries are re-laid-out CHUNK-ALIGNED per tile and
-capped at a static `entry_cap` — crucially via GATHERS (output slot ->
-source index through a searchsorted over the padded offsets): TPU scatters
-serialize and were ~25x slower than the sort itself.
+v2 design (chain-difference profiled on v5e; v1's gather-based slot emission
+cost ~50 ms at office0 scale because TPU gathers run ~12 ms per million
+indices, while `lax.sort` of 2M keys is only ~3 ms):
+
+- Slots live as a DENSE (R, P) grid — gaussian index on the well-tiled lane
+  axis, rect-cell rank on sublanes. Every per-gaussian field BROADCASTS
+  (zero gathers); cell coordinates decompose from the rank with exact f32
+  arithmetic (R < 32).
+- Rects come from the TIGHT per-axis extents of the alpha>=1/255 support
+  (`Preprocessed.ext`), intersected with the reference's 3-sigma circle
+  rect, and each cell is tested EXACTLY against the conic: the minimum of
+  the Mahalanobis quadratic over the cell's pixel box is computed in closed
+  form, and cells whose minimum exceeds ln(255) are culled. Those cells
+  cannot contain any pixel with alpha >= 1/255 (opacity <= 1), i.e. the
+  blend kernel would skip every pixel of them (`forward.cu:771`), so
+  culling is bit-exact — it just stops paying sort/pack/blend for entries
+  that contribute nothing. Empirically this removes ~35-60% of entries.
+- Invalid/culled slots sort to the end via a sentinel key; keys fuse
+  tile|quantized-depth into one uint32 when the grid fits 12 bits.
+- After the sort, entries are laid out CHUNK-ALIGNED per tile and capped at
+  a static `entry_cap` via GATHERS with MONOTONIC indices (fast path on
+  TPU), exactly as v1.
 
 The aligned layout is what lets the Pallas blend kernel consume entries
 through pallas's own pipelined block fetching. Truncation is explicit and
@@ -31,6 +43,7 @@ from .projection import Preprocessed
 
 DEPTH_BITS = 19
 DEPTH_RANGE = 100.0   # zfar; 100 m / 2^19 = 0.2 mm ordering resolution
+CULL_TAU = 5.5413     # ln(255): Q_min > tau  =>  alpha < 1/255 everywhere
 
 
 class Binning(NamedTuple):
@@ -48,6 +61,33 @@ def tile_grid_size(width: int, height: int, tile_size: int):
     return (height + tile_size - 1) // tile_size, (width + tile_size - 1) // tile_size
 
 
+def _cell_qmin(lx, ux, ly, uy, Ca, Cb, Cc):
+    """Exact min of Q(d) = 0.5(Ca dx^2 + Cc dy^2) + Cb dx dy over the box
+    [lx,ux] x [ly,uy]. For a PD quadratic the min is 0 if the origin is
+    inside, else it lies on the boundary; each edge restricts Q to a 1-D
+    quadratic whose minimizer is clamped to the edge."""
+    def q(dx, dy):
+        return 0.5 * (Ca * dx * dx + Cc * dy * dy) + Cb * dx * dy
+
+    inv_c = 1.0 / jnp.where(Cc == 0, 1e-12, Cc)
+    inv_a = 1.0 / jnp.where(Ca == 0, 1e-12, Ca)
+
+    def edge_x(X):
+        dy = jnp.clip(-Cb * X * inv_c, ly, uy)
+        return q(X, dy)
+
+    def edge_y(Y):
+        dx = jnp.clip(-Cb * Y * inv_a, lx, ux)
+        return q(dx, Y)
+
+    qmin = jnp.minimum(
+        jnp.minimum(edge_x(lx), edge_x(ux)),
+        jnp.minimum(edge_y(ly), edge_y(uy)),
+    )
+    inside = (lx <= 0) & (ux >= 0) & (ly <= 0) & (uy >= 0)
+    return jnp.where(inside, 0.0, qmin)
+
+
 def bin_gaussians(pre: Preprocessed, width: int, height: int, tile_size: int,
                   max_tiles_per_gaussian: int,
                   tile_mask: Optional[jnp.ndarray] = None,
@@ -55,90 +95,86 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int, tile_size: int,
                   max_chunks: int = 32) -> Binning:
     P = pre.xy.shape[0]
     R = max_tiles_per_gaussian
+    assert R < 32
     TH, TW = tile_grid_size(width, height, tile_size)
     num_tiles = TH * TW
     assert entry_cap % align == 0
 
     xy = jax.lax.stop_gradient(pre.xy)
-    radius = jax.lax.stop_gradient(pre.radius)
+    ext = jax.lax.stop_gradient(pre.ext)
+    conic = jax.lax.stop_gradient(pre.conic)
     depth = jax.lax.stop_gradient(pre.depth)
 
-    # tile rect per gaussian (ref `getRect`, auxiliary.h:49-57)
+    # tight tile rect per gaussian (ref `getRect`, auxiliary.h:49-57, but
+    # with per-axis extents; xmax/ymax are EXCLUSIVE tile bounds). NOTE the
+    # CUDA-style `(v + ts - 1) / ts` upper bound is only correct for integer
+    # (ceil'd) radii — with fractional extents it drops a covered boundary
+    # tile when floor(v) lands on a tile multiple; the exact exclusive bound
+    # of pixel floor(x + ex) is floor((x + ex)/ts) + 1.
     xy_T = xy.T
-    rect_min_x = jnp.clip(jnp.floor((xy_T[0] - radius) / tile_size), 0, TW).astype(jnp.int32)
-    rect_min_y = jnp.clip(jnp.floor((xy_T[1] - radius) / tile_size), 0, TH).astype(jnp.int32)
+    ex, ey = ext.T[0], ext.T[1]
+    rect_min_x = jnp.clip(jnp.floor((xy_T[0] - ex) / tile_size), 0, TW).astype(jnp.int32)
+    rect_min_y = jnp.clip(jnp.floor((xy_T[1] - ey) / tile_size), 0, TH).astype(jnp.int32)
     rect_max_x = jnp.clip(
-        jnp.floor((xy_T[0] + radius + tile_size - 1) / tile_size), 0, TW
+        jnp.floor((xy_T[0] + ex) / tile_size) + 1, 0, TW
     ).astype(jnp.int32)
     rect_max_y = jnp.clip(
-        jnp.floor((xy_T[1] + radius + tile_size - 1) / tile_size), 0, TH
+        jnp.floor((xy_T[1] + ey) / tile_size) + 1, 0, TH
     ).astype(jnp.int32)
     rw = jnp.maximum(rect_max_x - rect_min_x, 0)
     rh = jnp.maximum(rect_max_y - rect_min_y, 0)
     area = rw * rh
-    gauss_valid = pre.valid & (area > 0)
-
-    # --- two-phase slot emission (replaces the dense (P,R) slot grid) ---
-    # A dense P x R grid sorts P*R slots (4.2M at office0 scale) though only
-    # ~E = sum(area) (<1M) are real. Prefix-sum the kept per-gaussian tile
-    # counts, then GATHER-expand into a slot array sized by the entry
-    # budget. Slot s belongs to the gaussian whose cumulative-count interval
-    # contains s (boundary-scatter + cumsum — searchsorted would serialize).
-    #
-    # PERF (hardware-profiled): one 2M-element gather from a P-array costs
-    # ~18 ms on TPU, but a (K, P) table gathered ONCE along axis=1 amortizes
-    # to ~1 ms/row — so every per-gaussian field rides a single stacked
-    # take. Integer //, % over 2M slots lower to slow VPU sequences; rank
-    # (< R <= 31) and rw decompose exactly in f32 instead.
+    gauss_valid = pre.valid & (area > 0) & (ex > 0)
     area_k = jnp.where(gauss_valid, jnp.minimum(area, R), 0)
-    cum = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(area_k).astype(jnp.int32)])
-    total = cum[P]
-    slot_cap = min(P * R, 2 * entry_cap)
-    sboundary = jnp.zeros(slot_cap + 1, jnp.int32).at[cum[1:]].add(
-        1, mode="drop")
-    g_of_s = jnp.cumsum(sboundary[:slot_cap])                  # (slot_cap,)
-    s = jnp.arange(slot_cap, dtype=jnp.int32)
-    g_safe = jnp.clip(g_of_s, 0, P - 1)
-    slot_ok = s < jnp.minimum(total, slot_cap)
 
-    assert R < 32
+    # --- dense (R, P) cell enumeration: zero gathers, pure broadcasting ---
+    jj = jax.lax.broadcasted_iota(jnp.int32, (R, P), 0)
+    rw_f = jnp.maximum(rw, 1).astype(jnp.float32)[None, :]
+    # exact small-int div: jj < 32 and f32 division is correctly rounded
+    ty = jnp.floor(jj.astype(jnp.float32) / rw_f).astype(jnp.int32)
+    tx = jj - ty * rw[None, :]
+    cellx = rect_min_x[None, :] + tx
+    celly = rect_min_y[None, :] + ty
+    enum_ok = jj < area_k[None, :]
+
+    # exact per-cell cull: pixel centers of cell (cx,cy) span
+    # [cx*ts, cx*ts + ts-1]; Q_min over that box > tau -> every pixel has
+    # alpha < 1/255 -> the blend kernel would skip all of them.
+    lx = cellx.astype(jnp.float32) * tile_size - xy_T[0][None, :]
+    ux = lx + (tile_size - 1)
+    ly = celly.astype(jnp.float32) * tile_size - xy_T[1][None, :]
+    uy = ly + (tile_size - 1)
+    c_T = conic.T
+    qmin = _cell_qmin(lx, ux, ly, uy, c_T[0][None, :], c_T[1][None, :],
+                      c_T[2][None, :])
+    keep = enum_ok & (qmin <= CULL_TAU)
+
+    tile_id = celly * TW + cellx
+    tile_key = jnp.where(keep, tile_id, num_tiles)
+    gauss_id = jax.lax.broadcasted_iota(jnp.int32, (R, P), 1).reshape(-1)
+
     fused_key = num_tiles < (1 << 12)
-    origin = rect_min_y * TW + rect_min_x      # rect rows are TW apart
-    origin_rw = origin * 32 + jnp.minimum(rw, 31)
-    dq = jnp.clip(depth * (1.0 / DEPTH_RANGE), 0.0, 1.0)
-    dq = (dq * ((1 << DEPTH_BITS) - 1)).astype(jnp.uint32)
-    rows = [cum[:P], origin_rw,
-            dq.astype(jnp.int32) if fused_key
-            else jnp.arange(P, dtype=jnp.int32)]
-    gtab = jnp.take(jnp.stack(rows), g_safe, axis=1)           # (3, slot_cap)
-    rank = (s - gtab[0]).astype(jnp.float32)
-    rw_g = jnp.maximum(gtab[1] & 31, 1)
-    # exact small-int div: rank < 32 and f32 division is correctly rounded
-    ty = jnp.floor(rank / rw_g.astype(jnp.float32)).astype(jnp.int32)
-    tx = rank.astype(jnp.int32) - ty * rw_g
-    tile_id = (gtab[1] >> 5) + ty * TW + tx
-
-    tile_key = jnp.where(slot_ok, tile_id, num_tiles)
-    gauss_id = g_safe
-
     if fused_key:
         # fused single-u32 key: tile(12b) | quantized depth(19b). The CUDA
         # reference packs exact f32 depth bits into a 64-bit key; 0.2 mm
         # ordering resolution is far below any visible difference.
-        key = (tile_key.astype(jnp.uint32) << DEPTH_BITS) | gtab[2].astype(
-            jnp.uint32)
+        dq = jnp.clip(depth * (1.0 / DEPTH_RANGE), 0.0, 1.0)
+        dq = (dq * ((1 << DEPTH_BITS) - 1)).astype(jnp.uint32)
+        key = ((tile_key.astype(jnp.uint32) << DEPTH_BITS)
+               | jnp.broadcast_to(dq[None, :], (R, P))).reshape(-1)
         sorted_key, sorted_id = jax.lax.sort((key, gauss_id), num_keys=1)
         sorted_tile = (sorted_key >> DEPTH_BITS).astype(jnp.int32)
     else:
-        depth_key = depth[g_safe]
+        depth_key = jnp.broadcast_to(depth[None, :], (R, P)).reshape(-1)
         sorted_tile, _, sorted_id = jax.lax.sort(
-            (tile_key.astype(jnp.int32), depth_key, gauss_id), num_keys=2
+            (tile_key.reshape(-1), depth_key, gauss_id), num_keys=2
         )
 
     # per-tile ranges in sort space, then the CHUNK-aligned capped layout.
     # tile_mask is applied HERE, per tile (free), not per slot pre-sort: a
-    # 2M-element bool gather from the mask table costs ~18 ms.
+    # multi-million-element bool gather from the mask table is the expensive
+    # v1 mistake in reverse.
+    slot_cap = R * P
     offsets = jnp.searchsorted(
         sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
@@ -153,11 +189,10 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int, tile_size: int,
     )
     poffs = jnp.minimum(poffs, entry_cap)
 
-    # GATHER-based layout: for each output slot, find its tile by counting
-    # tile boundaries at or before it — a 3k-element scatter + a cumsum.
-    # (searchsorted over entry_cap queries costs ~100 ms of serialized
-    # gathers; scatters of a few thousand elements are cheap.) Per-tile
-    # fields ride one stacked take, like the emission above.
+    # GATHER-based layout with monotonic indices: for each output slot, find
+    # its tile by counting tile boundaries at or before it (boundary scatter
+    # of a few thousand elements + cumsum). Per-tile fields ride one stacked
+    # take.
     o = jnp.arange(entry_cap, dtype=jnp.int32)
     boundary = jnp.zeros(entry_cap + 1, jnp.int32).at[poffs[1:]].add(
         1, mode="drop")
@@ -168,22 +203,23 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int, tile_size: int,
     rank = o - ttab[0]
     valid = (t_of_o < num_tiles) & (rank < ttab[1])
     src = jnp.where(valid, ttab[2] + rank, 0)
-    point_list = jnp.take(sorted_id, src)
+    point_list = jnp.take(sorted_id, jnp.minimum(src, slot_cap - 1))
     entry_tile = jnp.where(valid, t_safe, num_tiles)
     block_starts = jnp.arange(entry_cap // align, dtype=jnp.int32) * align
     bt = entry_tile[block_starts]
     block_tile = jnp.where(bt < num_tiles, bt, -1).astype(jnp.int32)
 
     num_entries = jnp.sum(valid.astype(jnp.int32))
-    # truncation by the per-tile chunk cap (masked-off tiles are "not
-    # rendered", not dropped) + overflow of the global entry budget
+    # truncation receipts: (a) rect cells beyond the per-gaussian cap R — an
+    # UPPER bound: some of those cells would have been culled anyway;
+    # (b) per-tile chunk-cap truncation (masked-off tiles are "not
+    # rendered", not dropped); (c) global entry-budget overflow.
     trunc = counts - kept_counts
     if tile_mask is not None:
         trunc = jnp.where(masked_on, trunc, 0)
     dropped = (
         jnp.sum(jnp.where(gauss_valid, jnp.maximum(area - R, 0), 0),
                 dtype=jnp.int32)
-        + jnp.maximum(total - slot_cap, 0)
         + jnp.sum(trunc, dtype=jnp.int32)
         + (jnp.sum(kept_counts, dtype=jnp.int32) - num_entries)
     )

@@ -26,6 +26,10 @@ class Preprocessed(NamedTuple):
     mean_c: jnp.ndarray       # (P,3) camera-frame center
     normal_c: jnp.ndarray     # (P,3) camera-frame min-scale axis
     scale_max: jnp.ndarray    # (P,) max scale (x scale_modifier)
+    ext: jnp.ndarray          # (P,2) tight per-axis AABB half-extents of the
+                              # alpha>=1/255 support (min'd with radius so the
+                              # support never exceeds the reference's
+                              # 3-sigma-circle rect — see binning)
 
 
 def _rot_cols(rots):
@@ -147,6 +151,18 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
     lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius = jnp.ceil(color_sigma * jnp.sqrt(lambda1))
 
+    # tight per-axis extents of the {alpha >= 1/255 | opacity <= 1} support:
+    # Q(d) = 0.5 d^T cov2d^{-1} d <= tau = ln(255)  =>  |dx| <= sqrt(2 tau a),
+    # |dy| <= sqrt(2 tau c). Intersected with the reference's circle so the
+    # binned support is a subset of the CUDA rect (exact-parity guarantee:
+    # every pixel the reference blends has alpha >= 1/255, hence lies inside
+    # both bounds; see `binning.bin_gaussians`).
+    TAU2 = 2.0 * 5.5413  # 2 ln 255
+    ext = jnp.stack([
+        jnp.minimum(jnp.sqrt(TAU2 * jnp.maximum(a, 0.0)), radius),
+        jnp.minimum(jnp.sqrt(TAU2 * jnp.maximum(c, 0.0)), radius),
+    ], axis=-1)
+
     xy = jnp.stack(
         [ndc_x * width * 0.5 + cx, ndc_y * height * 0.5 + cy], axis=-1
     )
@@ -166,6 +182,7 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
         valid=valid, xy=xy, conic=conic, depth=tz_c,
         radius=jnp.where(valid, radius, 0.0), mean_c=mean_c,
         normal_c=normal_c, scale_max=scale_max,
+        ext=jnp.where(valid[:, None], ext, 0.0),
     )
 
 

@@ -16,6 +16,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the slow integration tests are dominated
+# by CPU XLA compiles of the full SLAM stack; cached executables make reruns
+# finish in a fraction of the cold time.
+from dqo_map_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

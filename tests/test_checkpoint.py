@@ -5,6 +5,9 @@ import numpy as np
 from dqo_map_tpu.config import default_config
 from dqo_map_tpu.data.synthetic import synthetic_sequence
 from dqo_map_tpu.slam.system import SLAMSystem
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _cfg(out):

@@ -7,6 +7,8 @@ from dqo_map_tpu.config import default_config
 from dqo_map_tpu.data.synthetic import synthetic_sequence
 from dqo_map_tpu.slam.system import SLAMSystem
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def slam_result(tmp_path_factory):

@@ -10,6 +10,9 @@ from dqo_map_tpu.data.synthetic import SyntheticScene, _look_at
 from dqo_map_tpu.slam.icp import IcpConfig, icp_pyramid, icp_residuals_jacobian
 from dqo_map_tpu.slam.tracker import Tracker, preprocess_frame
 from dqo_map_tpu.utils import image as im
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def make_frames(delta_rot=0.01, delta_trans=(0.01, 0.0, 0.005), W=128, H=96):

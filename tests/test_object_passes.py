@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from dqo_map_tpu.config import default_config
 from dqo_map_tpu.data.synthetic import synthetic_sequence
 from dqo_map_tpu.slam.system import SLAMSystem

@@ -19,6 +19,8 @@ from dqo_map_tpu.parallel.dp import (dp_optimize_step, make_mesh,
                                      shard_objects_refine)
 from dqo_map_tpu.slam.mapper import adam_init, get_params
 
+pytestmark = pytest.mark.slow
+
 
 def _proj(W, H, fx):
     znear, zfar = 0.01, 100.0
@@ -142,6 +144,46 @@ def test_shard_objects_refine_matches_unsharded():
     np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_u), atol=1e-5)
     np.testing.assert_allclose(np.asarray(c_s), np.asarray(c_u), atol=1e-5)
     np.testing.assert_allclose(np.asarray(R_s), np.asarray(R_u), atol=1e-5)
+
+
+def _parallel_slam_run(tmp_path_factory, n_devices, tag):
+    """Config-driven parallel SLAM run (the PRODUCT path: `parallel_enabled`
+    routes Mapping.global_optimization through dp_optimize_scan)."""
+    from dqo_map_tpu.config import default_config
+    from dqo_map_tpu.data.synthetic import synthetic_sequence
+    from dqo_map_tpu.slam.system import SLAMSystem
+    out = tmp_path_factory.mktemp(f"par_slam_{tag}")
+    cfg = default_config(
+        type="Synthetic", save_path=str(out), use_object=False,
+        use_gt_pose=True, capacity=8192, add_capacity=2048,
+        uniform_sample_num=1200, gaussian_update_frame=2,
+        gaussian_update_iter=6, stable_confidence_thres=6,
+        # force the keyframe/global path from frame 2 on
+        keyframe_trans_thes=0.0001, keyframe_theta_thes=0.01,
+        global_keyframe_num=2,
+        min_depth=0.1, max_depth=8.0, memory_length=3, final_global_iter=2,
+        parallel_enabled=True, parallel_devices=n_devices,
+    )
+    _, cams = synthetic_sequence(5, width=64, height=48)
+    system = SLAMSystem(cfg, cameras=cams)
+    assert system.mapping.mesh is not None
+    assert system.mapping.mesh.devices.size == n_devices
+    result = system.run(eval_every=0, verbose=False, max_frames=5)
+    poses = np.load(f"{out}/pose_es.npy")
+    return system, result, poses
+
+
+def test_parallel_slam_8dev_matches_1dev(tmp_path_factory):
+    """The config-driven dp product path: an 8-device SLAMSystem run must
+    reproduce the 1-device run (same dp math, psum over 8 shards vs 1)."""
+    assert len(jax.devices()) >= 8
+    sys8, res8, poses8 = _parallel_slam_run(tmp_path_factory, 8, "dev8")
+    sys1, res1, poses1 = _parallel_slam_run(tmp_path_factory, 1, "dev1")
+    np.testing.assert_allclose(poses8, poses1, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sys8.mapping.state.xyz),
+                               np.asarray(sys1.mapping.state.xyz), atol=1e-4)
+    assert res8["psnr"] > 18, res8
+    assert abs(res8["psnr"] - res1["psnr"]) < 0.1
 
 
 def test_make_mesh_clips_to_available():
