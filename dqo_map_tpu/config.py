@@ -204,6 +204,23 @@ class TrackingParams:
 
 
 @dataclass
+class ParallelParams:
+    """Multi-chip scale-out knobs (TPU-native; no reference equivalent — the
+    reference's only concurrency is 3 host processes over torch.mp queues,
+    `SLAM/multiprocess/system.py`). When enabled and >1 JAX device exists,
+    `Mapping.global_optimization` routes through the shard_map keyframe-DP
+    optimizer (`parallel.dp.dp_optimize_scan`, keyframe batch sharded over
+    ICI, map replicated) and the object layer's batched quadric refinement
+    shards over the object axis."""
+
+    parallel_enabled: bool = False
+    parallel_devices: int = 0          # 0 = use all available devices
+    parallel_keyframes: int = 0        # 0 = pad global_keyframe_num to the
+                                       # mesh size; >0 = take this many
+                                       # keyframes (rounded up to mesh size)
+
+
+@dataclass
 class SystemParams:
     """Pipeline / sync knobs for the overlapped tracker-mapper mode
     (ref `SLAM/multiprocess/system.py:19-44`)."""
@@ -226,6 +243,7 @@ class Config:
     opt: OptimizationParams
     tracking: TrackingParams
     system: SystemParams
+    parallel: ParallelParams
 
     @staticmethod
     def from_yaml(path: str) -> "Config":
@@ -241,6 +259,7 @@ class Config:
             opt=_extract(OptimizationParams, raw),
             tracking=_extract(TrackingParams, raw),
             system=_extract(SystemParams, raw),
+            parallel=_extract(ParallelParams, raw),
         )
 
     def get(self, key: str, default: Any = None) -> Any:
@@ -255,7 +274,8 @@ class Config:
 def default_config(**overrides) -> Config:
     """A Config built from defaults, with flat-key overrides (used by tests)."""
     raw = {}
-    for cls in (DatasetParams, MapParams, OptimizationParams, TrackingParams, SystemParams):
+    for cls in (DatasetParams, MapParams, OptimizationParams, TrackingParams,
+                SystemParams, ParallelParams):
         for f in fields(cls):
             if f.name not in raw:
                 v = f.default

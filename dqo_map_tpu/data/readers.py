@@ -165,9 +165,10 @@ def read_ours(datapath: str, frame_start=0, frame_num=-1, frame_step=0,
 
 
 def read_tum(datapath: str, frame_start=0, frame_num=-1, frame_step=0,
-             max_dt=0.08, **_):
+             max_dt=0.08, crop_edge=0, **_):
     """(ref `readTumSceneInfo`, dataset_readers.py:549-718): associate
-    rgb/depth/groundtruth lists by timestamp."""
+    rgb/depth/groundtruth lists by timestamp. `crop_edge` trims distorted
+    borders like the reference (dataset_readers.py:609,685)."""
 
     def read_list(p):
         out = []
@@ -218,14 +219,21 @@ def read_tum(datapath: str, frame_start=0, frame_num=-1, frame_step=0,
            if frame_start + i * (frame_step + 1) < len(assoc)]
 
     cams = []
+    ce = int(crop_edge or 0)
     for uid, s in enumerate(sel):
         i, j, _ = assoc[s]
         depth = _load_depth(os.path.join(datapath, depth_list[j][1]), 5000.0)
         H, W = depth.shape
         img = _load_image(os.path.join(datapath, rgb_list[i][1]), (W, H))
+        cx, cy = intr["cx"], intr["cy"]
+        if ce > 0:
+            img = img[ce:-ce, ce:-ce]
+            depth = depth[ce:-ce, ce:-ce]
+            H, W = depth.shape
+            cx, cy = cx - ce, cy - ce
         cams.append(Camera(
             uid=uid, c2w=poses[s], fx=intr["fx"], fy=intr["fy"],
-            cx=intr["cx"], cy=intr["cy"], width=W, height=H, image=img,
+            cx=cx, cy=cy, width=W, height=H, image=img,
             depth=depth, pose_gt=poses[s].copy(), timestamp=t_rgb[i],
             depth_scale=5000.0,
         ))
@@ -384,6 +392,8 @@ class Dataset:
         )
         if t == "Replica":
             kwargs["use_semantics"] = params.use_semantics
+        if t == "TUM":
+            kwargs["crop_edge"] = params.crop_edge
         if t in ("Ours", "Scannetpp"):
             kwargs = dict(frame_start=params.frame_start,
                           frame_num=params.frame_num,

@@ -502,6 +502,9 @@ class ObjectLayer:
         # (`eval_obj/results_accociation/`): iou | qd | iou_qd
         self.association = (cfg.get("association", "iou")
                             if hasattr(cfg, "get") else "iou")
+        # multi-chip: when SLAMSystem installs a mesh, the batched quadric
+        # refinement shards over the object axis (parallel.dp)
+        self.mesh = None
 
     def process_frame(self, frame, frame_map, frame_id: int):
         if hasattr(frame, "sync_pose"):
@@ -582,10 +585,20 @@ class ObjectLayer:
         rand_idx = self.rng.integers(0, n_obs[None, :], (OBJ_ITERS, O))
         for it in range(OBJ_ITERS // 4 + 1, OBJ_ITERS):
             rand_idx[it] = n_obs - 1
-        new_axes, new_R, new_center = refine_objects(
-            jnp.asarray(axes), jnp.asarray(R), jnp.asarray(center),
-            jnp.asarray(obs_bbox), jnp.asarray(obs_P), jnp.asarray(obs_valid),
-            jnp.asarray(opt_mask), jnp.asarray(rand_idx, jnp.int32))
+        if self.mesh is not None and MAX_OBJECTS % self.mesh.devices.size == 0:
+            from ..parallel.dp import shard_objects_refine
+            new_axes, new_R, new_center = shard_objects_refine(
+                self.mesh, jnp.asarray(axes), jnp.asarray(R),
+                jnp.asarray(center), jnp.asarray(obs_bbox),
+                jnp.asarray(obs_P), jnp.asarray(obs_valid),
+                jnp.asarray(opt_mask), jnp.asarray(rand_idx, jnp.int32),
+                iters=OBJ_ITERS)
+        else:
+            new_axes, new_R, new_center = refine_objects(
+                jnp.asarray(axes), jnp.asarray(R), jnp.asarray(center),
+                jnp.asarray(obs_bbox), jnp.asarray(obs_P),
+                jnp.asarray(obs_valid), jnp.asarray(opt_mask),
+                jnp.asarray(rand_idx, jnp.int32))
         new_axes = np.asarray(new_axes)
         new_R = np.asarray(new_R)
         new_center = np.asarray(new_center)

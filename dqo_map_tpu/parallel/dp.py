@@ -19,7 +19,7 @@ or is needed.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -115,6 +115,158 @@ def dp_optimize_step(mesh: Mesh, state: MapState, frames: dict,
         return set_params(state, params), opt_state, loss
 
     return step(state, frames, opt_state)
+
+
+def dp_optimize_scan(mesh: Mesh, state: MapState, frames: dict,
+                     fweight, lrs: dict, weights: dict,
+                     settings: RenderSettings, iters: int, status_value: int,
+                     add_depth_thres: float, subset: str = "stable",
+                     bucket: Optional[int] = None,
+                     with_tile_mask: bool = True):
+    """Scan-compiled data-parallel replacement for `mapper.optimize_scan`.
+
+    Compiled executables are cached per (mesh, settings, iters, ...) via
+    `_dp_scan_factory`, so the steady-state keyframe cadence reuses one
+    executable instead of retracing the shard_map closure every call.
+
+    The keyframe batch (leading dim F, divisible by the mesh size — pad with
+    weight-0 repeats) is sharded over the `dp` axis; the map state is
+    replicated. Each iteration takes ONE Adam step on the exact
+    fweight-weighted mean loss over ALL frames: every device evaluates its
+    local shard's weighted loss sum, gradients ride a `psum` over ICI, and
+    the masked Adam update runs replicated. Because the weighted mean is
+    normalized on the host (sum(fweight)==1), an N-device mesh computes
+    bit-near the same update as a 1-device mesh over the same frames
+    (tests/test_parallel.py asserts this end-to-end through SLAMSystem).
+
+    This is the multi-chip analogue of the reference's global optimization
+    (mapper.py:1105-1228, one random keyframe per iteration on one GPU): the
+    TPU version converts the random schedule into a full-batch weighted mean
+    so the work parallelizes over ICI instead of serializing over iterations.
+
+    Binning is hoisted per LOCAL frame outside the scan (cameras are fixed
+    for the whole scan), exactly like the single-device path. Returns
+    (state, reports) with the same report keys as optimize_scan.
+    """
+    F = frames["w2c"].shape[0]
+    assert F % mesh.devices.size == 0, (F, mesh.devices.size)
+    # lrs/weights are plain float dicts — fold them into the static cache key
+    # (they change only between the local/global/final regimes)
+    def _freeze(v):
+        # lr entries may be arrays (the per-SH-coefficient lr vector)
+        arr = np.asarray(v)
+        return (arr.shape, tuple(arr.reshape(-1).tolist()))
+
+    fn = _dp_scan_factory(
+        mesh, settings, int(iters), int(status_value),
+        float(add_depth_thres), subset, bucket, bool(with_tile_mask),
+        tuple(sorted(frames.keys())),
+        tuple(sorted((k, _freeze(v)) for k, v in lrs.items())),
+        tuple(sorted((k, float(v)) for k, v in weights.items())))
+    return fn(state, frames, jnp.asarray(fweight, jnp.float32))
+
+
+@lru_cache(maxsize=None)
+def _dp_scan_factory(mesh: Mesh, settings: RenderSettings, iters: int,
+                     status_value: int, add_depth_thres: float, subset: str,
+                     bucket: Optional[int], with_tile_mask: bool,
+                     frame_keys: tuple, lrs_items: tuple, weights_items: tuple):
+    from ..slam.mapper import compute_loss
+    from ..slam.renderer import compute_binning_state
+    lrs = {k: jnp.asarray(vals, jnp.float32).reshape(shape) if shape
+           else float(vals[0])
+           for k, (shape, vals) in lrs_items}
+    weights = dict(weights_items)
+    axis = mesh.axis_names[0]
+    batched = {"color", "depth", "normal", "render_mask", "tile_mask",
+               "w2c", "full_proj", "cam_pos", "semantics_color",
+               "instance_img"}
+    frame_specs = {k: (P(axis) if k in batched else P()) for k in frame_keys}
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), frame_specs, P(axis)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    def run(state, fr, w_shard):
+        opt_mask = state.status == status_value
+        params = get_params(state)
+        init_stat = {
+            "opacity": params["opacity"], "scaling": params["scaling"],
+            "xyz": params["xyz"], "rotation": params["rotation"],
+        }
+        opt_state = adam_init(params)
+        confidence0 = state.confidence
+        f_local = fr["color"].shape[0]
+
+        def cam_of(f):
+            return {
+                "w2c": fr["w2c"][f], "full_proj": fr["full_proj"][f],
+                "cam_pos": fr["cam_pos"][f], "K": fr["K"],
+                "tan_fovx": fr["tan_fovx"], "tan_fovy": fr["tan_fovy"],
+            }
+
+        per_frame = []
+        for f in range(f_local):
+            tm_f = fr["tile_mask"][f] if with_tile_mask else None
+            per_frame.append(compute_binning_state(
+                state, cam_of(f), settings, subset, tm_f, bucket=bucket))
+        binnings = jax.tree.map(lambda *xs: jnp.stack(xs), *per_frame)
+
+        def weighted_loss(p):
+            def floss(i):
+                cam = cam_of(i)
+                tm = fr["tile_mask"][i] if with_tile_mask else None
+                binning = jax.tree.map(lambda x: x[i], binnings)
+                st = set_params(state, p)
+                out = render_state(st, cam, settings, subset, tm,
+                                   bucket=bucket, binning=binning)
+                image_input = {
+                    "color_map": fr["color"][i], "depth_map": fr["depth"][i],
+                    "normal_map": fr["normal"][i],
+                    "render_mask": fr["render_mask"][i],
+                }
+                sem = None
+                if "semantics_color" in fr:
+                    image_input["semantics_color"] = fr["semantics_color"][i]
+                    sem = render_state(st, cam, settings, subset, tm,
+                                       colors_precomp=p["sem_rgb"],
+                                       bucket=bucket, binning=binning)["render"]
+                if "instance_img" in fr:
+                    image_input["instance_img"] = fr["instance_img"][i]
+                loss, _ = compute_loss(out, image_input, p, init_stat,
+                                       opt_mask, weights, add_depth_thres,
+                                       False, sem_render=sem)
+                return loss
+            losses = jax.lax.map(floss, jnp.arange(f_local))
+            return (losses * w_shard).sum()
+
+        def step(carry, _):
+            params, opt_state, confidence = carry
+            loss, grads = jax.value_and_grad(weighted_loss)(params)
+            grads = jax.tree.map(lambda g: jax.lax.psum(g, axis), grads)
+            loss = jax.lax.psum(loss, axis)
+            params, opt_state = adam_update(params, grads, opt_state, lrs,
+                                            opt_mask)
+            grad_mask = jnp.any(jnp.abs(grads["sh"][:, 0, :]) != 0, axis=-1)
+            confidence = confidence + (grad_mask & opt_mask).astype(
+                jnp.float32)
+            return (params, opt_state, confidence), loss
+
+        (params, _, confidence), losses = jax.lax.scan(
+            step, (params, opt_state, confidence0), None, length=iters)
+        new_state = set_params(state, params)._replace(confidence=confidence)
+        reports = {
+            "loss": losses,
+            "dropped_entries": jnp.broadcast_to(
+                jax.lax.pmax(jnp.max(binnings.dropped), axis), (iters,)),
+            "num_entries": jnp.broadcast_to(
+                jax.lax.pmax(jnp.max(binnings.num_entries), axis), (iters,)),
+        }
+        return new_state, reports
+
+    return jax.jit(run)
 
 
 def shard_objects_refine(mesh: Mesh, axes, R, center, obs_bbox, obs_P,

@@ -637,6 +637,10 @@ class Mapping:
         from ..utils.monitor import ScalarLogger
         self.logger = ScalarLogger(self.save_path,
                                    enabled=bool(args.use_tensorboard))
+        # multi-chip routing: SLAMSystem installs a jax.sharding.Mesh here
+        # when `parallel_enabled` and >1 device exists; global_optimization
+        # then runs through parallel.dp.dp_optimize_scan (keyframe-DP)
+        self.mesh = None
 
     # --------------------------------------------------------------
     def _next_key(self):
@@ -897,7 +901,10 @@ class Mapping:
             # memory frame — replaces a full unstable-subset render (binning
             # sort included) per frame (ref evaluate_render_range's
             # transmission mask, mapper.py:930-988; superset semantics: the
-            # extra tiles carry zero gradient for the unstable params)
+            # extra pixels inside covered tiles contribute only negligible
+            # sub-cull-threshold alpha gradients for the unstable params,
+            # so loss reports can drift slightly from the reference's
+            # pixel-accurate T_map!=1 mask)
             tm = coverage_mask_state(self.state, cam, self.settings,
                                      "unstable", bucket=self.bucket)
             rm = im.tilemask_to_pixelmask(tm, ts, self.height, self.width)
@@ -986,6 +993,16 @@ class Mapping:
         if not is_final:
             while len(entries) < select_keyframe_num:
                 entries.append(entries[-1])
+        # keyframe-DP: each SLOT gets equal weight (mirroring the sequential
+        # rand schedule's uniform slot sampling, duplicate slots included),
+        # then the batch pads to a mesh-size multiple with zero-weight repeats
+        if self.mesh is not None:
+            n_slots = len(entries)
+            n_dev = self.mesh.devices.size
+            fweight = [1.0 / n_slots] * n_slots
+            while len(entries) % n_dev != 0:
+                entries.append(entries[-1])
+                fweight.append(0.0)
         frames = self._stack_frames(entries, ts)
 
         if is_final:
@@ -1003,12 +1020,21 @@ class Mapping:
             rand_idx = self._rand_schedule(iters, n_sel)
         # the reference optimizes keyframes against the STABLE-only render
         # (`global_optimization` renders `self.stable_params`, mapper.py:1206)
-        self.state, reports = optimize_scan(
-            self.state, frames, rand_idx, lrs, weights, self.settings,
-            iters, gm.STABLE, self.args.add_depth_thres,
-            with_tile_mask=not is_final, subset="stable",
-            bucket=self.bucket,
-        )
+        if self.mesh is not None:
+            from ..parallel.dp import dp_optimize_scan
+            self.state, reports = dp_optimize_scan(
+                self.mesh, self.state, frames, fweight, lrs, weights,
+                self.settings, iters, gm.STABLE, self.args.add_depth_thres,
+                subset="stable", bucket=self.bucket,
+                with_tile_mask=not is_final,
+            )
+        else:
+            self.state, reports = optimize_scan(
+                self.state, frames, rand_idx, lrs, weights, self.settings,
+                iters, gm.STABLE, self.args.add_depth_thres,
+                with_tile_mask=not is_final, subset="stable",
+                bucket=self.bucket,
+            )
         self._dropped_dev = jnp.maximum(self._dropped_dev,
                                         reports["dropped_entries"][-1])
         self._entries_dev = jnp.maximum(self._entries_dev,
@@ -1114,4 +1140,13 @@ class Mapping:
                      include_confidence=True)
         save_map_ply(self.state, path + "_merge.ply", subset="global",
                      include_confidence=True)
+        # per-object model exports (ref saves `*obj*` PLYs per object id,
+        # consumed by metric_obj's per-object mesh eval)
+        obj_ids = np.asarray(self.state.obj_id)
+        alive_ids = np.unique(obj_ids[(obj_ids >= 0)
+                                      & (np.asarray(self.state.status) != 0)])
+        for oid in alive_ids.tolist():
+            save_map_ply(self.state, path + f"_obj{oid}.ply",
+                         subset="global", include_confidence=True,
+                         mask=obj_ids == oid)
         return path

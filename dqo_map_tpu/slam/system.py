@@ -45,6 +45,17 @@ class SLAMSystem:
         if cfg.opt.use_object:
             from ..models.quadrics import ObjectLayer
             self.object_layer = ObjectLayer(cfg)
+        # multi-chip scale-out: build the ICI mesh and route the mapper's
+        # global optimization (keyframe-DP) and object refinement through it
+        par = getattr(cfg, "parallel", None)
+        if par is not None and par.parallel_enabled:
+            import jax
+            from ..parallel.dp import make_mesh
+            n = par.parallel_devices or len(jax.devices())
+            mesh = make_mesh(n)
+            self.mapping.mesh = mesh
+            if self.object_layer is not None:
+                self.object_layer.mesh = mesh
         self.save_path = cfg.map.save_path
         os.makedirs(self.save_path, exist_ok=True)
         self.metrics_history = []
@@ -184,9 +195,31 @@ class SLAMSystem:
         except Exception as e:
             print(f"[slam] traj save failed: {e}")
         self.mapping.save_model()
+        if bool(getattr(self.cfg.map, "pcd_densify", False)):
+            # disc-densified stable snapshot (ref slam.py:203-206,
+            # gaussian_pointcloud.densify :67-130 — the `_sibr` export)
+            from ..utils.ply import densify_point_cloud, \
+                write_point_normal_ply
+            pts, nrms = densify_point_cloud(self.mapping.state,
+                                            sigma=1, circle_num=30, levels=5)
+            write_point_normal_ply(
+                os.path.join(self.save_path, "save_model",
+                             "pcd_densify.ply"), pts, nrms)
         if self.object_layer is not None:
-            self.object_layer.save(os.path.join(self.save_path, "save_obj"))
+            obj_dir = os.path.join(self.save_path, "save_obj")
+            self.object_layer.save(obj_dir)
             self._save_object_passes(last)
+            # per-object projected-IoU log (ref `record_iou`,
+            # mapper.py:1503-1534 — written once per run)
+            try:
+                import numpy as np_
+                ious = self.object_layer.record_iou(
+                    np_.asarray(last.K, np_.float64))
+                with open(os.path.join(obj_dir, "iou.txt"), "w") as f:
+                    for oid, iou in sorted(ious.items()):
+                        f.write(f"{oid} {iou:.6f}\n")
+            except Exception as e:
+                print(f"[slam] record_iou failed: {e}")
         self.recorder.cal_fps()
         perf = self.recorder.save(self.save_path)
         result = {**final, "ate_cm": ate, **perf}

@@ -284,6 +284,13 @@ class Tracker:
             "n_fail": self.icp_fail_count,
         })
         self._fail_dumps += 1
+        if self._fail_dumps == 1:
+            # diagnostics must survive a crash/abort before save_traj runs —
+            # the exact situation they exist for (ADVICE r02)
+            import atexit
+            atexit.register(self.flush_icp_failures)
+        if self._fail_dumps >= max_dumps:
+            self.flush_icp_failures()
 
     def flush_icp_failures(self):
         """Write the deferred failure diagnostics (called from save_traj)."""

