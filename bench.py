@@ -131,7 +131,7 @@ def main():
                 entry["per_iter_ms"] = round(mean_ms / iters, 2)
             stages[cls][tag] = entry
 
-    dropped, entries_max = system.mapping.dropped_entries()
+    dropped, entries_max, clipped = system.mapping.dropped_entries()
 
     from dqo_map_tpu.eval.evaluate import eval_frame
     m = eval_frame(system.mapping, cams[total_frames - 1], min_depth=0.1,
@@ -164,6 +164,7 @@ def main():
         "mapper_ms": round(1000 * sum(mp_times) / n, 1),
         "warmup_s": round(warmup_s, 1) if warmup_s else None,
         "dropped_entries": dropped,
+        "clipped_cells": clipped,
         "entries_max": entries_max,
         "entries_per_s": int(entries_max * fps),
         "stages": stages,

@@ -172,6 +172,10 @@ class OptimizationParams:
     use_instance: bool = False
     association: str = "iou"     # object association variant: iou|qd|iou_qd
                                  # (ref ablation eval_obj/results_accociation)
+    object_mode: int = 1         # ref mapper.py MODE: 1 = bbox-IoU refine
+                                 # (shipped default), 0 = render-based
+                                 # refine (from_Quadrics_to_Mode +
+                                 # object_optimize + Update_Map)
 
 
 @dataclass

@@ -18,6 +18,7 @@ from ..utils.losses import l1_loss, ms_ssim, psnr, ssim
 
 _lpips_fn = None
 _warned_msssim = False
+_warned_lpips = False
 
 
 def _lpips(img1: np.ndarray, img2: np.ndarray) -> Optional[float]:
@@ -35,7 +36,12 @@ def _lpips(img1: np.ndarray, img2: np.ndarray) -> Optional[float]:
         a = torch.from_numpy(np.transpose(img1, (2, 0, 1))[None]).float()
         b = torch.from_numpy(np.transpose(img2, (2, 0, 1))[None]).float()
         return float(_lpips_fn(a.clamp(0, 1), b.clamp(0, 1)))
-    except Exception:
+    except Exception as e:
+        global _warned_lpips
+        if not _warned_lpips:
+            print(f"[eval] LPIPS unavailable ({type(e).__name__}: {e}); "
+                  "omitting the metric")
+            _warned_lpips = True
         return None
 
 

@@ -488,6 +488,71 @@ def refine_objects(axes, R, center, obs_bbox, obs_P, obs_valid, opt_mask,
 
 
 # ---------------------------------------------------------------------------
+# MODE=0: render-based object refinement (ref mapper.py:164-165,223-226 —
+# `from_Quadrics_to_Mode` + `object_optimize` + `Update_Map`)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("settings", "iters"))
+def refine_objects_render(log_axes, quat, center, colors, opt_mask, cam,
+                          gt_obj_img, settings, iters: int = OBJ_ITERS,
+                          object_weight: float = 0.1,
+                          lr_center: float = 0.002, lr_axes: float = 0.01,
+                          lr_quat: float = 0.01):
+    """The reference's MODE=0 alternate object path, as one compiled scan.
+
+    Each ellipsoid becomes ONE Gaussian (center -> xyz, axes -> scales,
+    R -> quat, its palette color as colors_precomp — ref
+    `gaussian_pointcloud.from_Quadrics_to_Mode`, gaussian_pointcloud.py:
+    380-413) rendered through the SAME rasterizer as the map
+    (ref `Renderer.render_obj`, SLAM/render.py:61-133), with an L1 loss
+    against the per-pixel object-color image (ref `get_gt_obj`,
+    quadrics.py:1889-1960, painted here from the matched-detection id map)
+    and a masked Adam over center/axes/rotation (ref `object_optimize`,
+    mapper.py:266-316 + `loss_update_obj`:776-795).
+
+    log_axes/center (O,3), quat (O,4) wxyz, colors (O,3), opt_mask (O,),
+    gt_obj_img (H,W,3). Returns refined (log_axes, quat, center).
+    """
+    from ..ops.rasterize import rasterize
+    from ..utils.math3d import normalize
+
+    params = {"center": center, "log_axes": log_axes, "quat": quat}
+    lrs = {"center": lr_center, "log_axes": lr_axes, "quat": lr_quat}
+    m0 = {k: jnp.zeros_like(v) for k, v in params.items()}
+    v0 = {k: jnp.zeros_like(v) for k, v in params.items()}
+    opac = jnp.where(opt_mask, 0.99, 0.0)
+
+    def loss_fn(p):
+        out = rasterize(
+            p["center"], jnp.exp(p["log_axes"]), normalize(p["quat"]),
+            opac, colors, cam, settings, valid_mask=opt_mask,
+            with_normal=False, with_n_touched=False)
+        return object_weight * jnp.abs(out["render"] - gt_obj_img).mean()
+
+    def step(carry, it):
+        p, m, v = carry
+        g = jax.grad(loss_fn)(p)
+        t = (it + 1).astype(jnp.float32)
+        bc1 = 1 - 0.9 ** t
+        bc2 = 1 - 0.999 ** t
+        newp, newm, newv = {}, {}, {}
+        for k in p:
+            mk = opt_mask
+            while mk.ndim < g[k].ndim:
+                mk = mk[..., None]
+            gk = jnp.where(mk, g[k], 0.0)
+            newm[k] = 0.9 * m[k] + 0.1 * gk
+            newv[k] = 0.999 * v[k] + 0.001 * gk * gk
+            upd = lrs[k] * (newm[k] / bc1) / (jnp.sqrt(newv[k] / bc2) + 1e-15)
+            newp[k] = p[k] - jnp.where(mk, upd, 0.0)
+        return (newp, newm, newv), None
+
+    (params, _, _), _ = jax.lax.scan(step, (params, m0, v0),
+                                     jnp.arange(iters))
+    return params["log_axes"], normalize(params["quat"]), params["center"]
+
+
+# ---------------------------------------------------------------------------
 # ObjectLayer orchestrator (the `Map_global` lifecycle, mapper.py:145-245)
 # ---------------------------------------------------------------------------
 
@@ -605,6 +670,54 @@ class ObjectLayer:
         for slot, i in enumerate(active):
             self.objects[i].ellipsoid_ = Ellipsoid(
                 np.abs(new_axes[slot]), new_R[slot], new_center[slot])
+
+    def optimize_objects_render(self, frame, settings) -> int:
+        """MODE=0 frame-end pass (ref mapper.py:223-226): every live object
+        is rendered as one Gaussian and refined against the object-color
+        image, then the quadric map is updated in place (ref `Update_Map`,
+        quadrics.py:822-840). Returns the number of objects refined."""
+        from ..utils.math3d import quat_to_rotmat, rotmat_to_quat
+
+        objs = self.objects[:MAX_OBJECTS]
+        if not objs:
+            return 0
+        O = MAX_OBJECTS
+        log_axes = np.zeros((O, 3), np.float32)
+        quat = np.tile(np.array([1, 0, 0, 0], np.float32), (O, 1))
+        center = np.zeros((O, 3), np.float32)
+        colors = np.zeros((O, 3), np.float32)
+        opt_mask = np.zeros((O,), bool)
+        for i, obj in enumerate(objs):
+            e = obj.ellipsoid_
+            log_axes[i] = np.log(np.maximum(np.abs(e.axes_), 1e-4))
+            quat[i] = np.asarray(rotmat_to_quat(jnp.asarray(
+                e.R_, jnp.float32)))
+            center[i] = e.center_
+            colors[i] = np.asarray(obj.color, np.float32) / 255.0
+            opt_mask[i] = True
+
+        # GT object image (ref get_gt_obj): matched-detection id map painted
+        # with each object's color; background black
+        oid = self.obj_id_image(frame.width, frame.height)
+        gt = np.where(oid[..., None] >= 0,
+                      colors[np.clip(oid, 0, O - 1)], 0.0).astype(np.float32)
+
+        cam = frame.render_inputs()
+        new_la, new_q, new_c = refine_objects_render(
+            jnp.asarray(log_axes), jnp.asarray(quat), jnp.asarray(center),
+            jnp.asarray(colors), jnp.asarray(opt_mask), cam,
+            jnp.asarray(gt), settings,
+            object_weight=float(getattr(self.cfg.opt, "object_weight", 0.1)))
+        new_la = np.asarray(new_la)
+        new_c = np.asarray(new_c)
+        n = 0
+        for i, obj in enumerate(objs):
+            R = np.asarray(quat_to_rotmat(new_q[i]), np.float64)
+            obj.ellipsoid_ = Ellipsoid(
+                np.exp(new_la[i]).astype(np.float64), R,
+                new_c[i].astype(np.float64))
+            n += 1
+        return n
 
     def obj_id_image(self, width: int, height: int) -> np.ndarray:
         """(H,W) int32 object-index image from this frame's matched

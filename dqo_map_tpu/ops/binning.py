@@ -54,7 +54,12 @@ class Binning(NamedTuple):
     block_tile: jnp.ndarray    # (entry_cap/align,) int32 tile per block (-1 unused)
     num_entries: jnp.ndarray   # () int32 valid entries kept
     num_blocks: jnp.ndarray    # () int32 align-sized blocks actually used
-    dropped: jnp.ndarray       # () int32 entries lost to caps
+    dropped: jnp.ndarray       # () int32 HARD losses (per-tile chunk cap +
+                               #    global entry budget) — must stay 0
+    clipped: jnp.ndarray       # () int32 upper bound of rect cells clipped
+                               #    by the per-gaussian R window (most would
+                               #    have been conic-culled; centered window
+                               #    keeps the high-alpha cells)
 
 
 def tile_grid_size(width: int, height: int, tile_size: int):
@@ -125,16 +130,38 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int, tile_size: int,
     rh = jnp.maximum(rect_max_y - rect_min_y, 0)
     area = rw * rh
     gauss_valid = pre.valid & (area > 0) & (ex > 0)
-    area_k = jnp.where(gauss_valid, jnp.minimum(area, R), 0)
+
+    # Over-R rects keep a CENTERED sub-window instead of the first R cells
+    # in row-major order (which silently discarded every bottom row of a
+    # wide gaussian). The clipped ring is the far-from-center part the
+    # conic cull would mostly remove anyway; `clipped` reports the upper
+    # bound of cells lost this way, separately from hard `dropped` losses.
+    over = area > R
+    s = jnp.sqrt(R / jnp.maximum(area.astype(jnp.float32), 1.0))
+    rw2 = jnp.clip(jnp.floor(rw.astype(jnp.float32) * s), 1, rw).astype(jnp.int32)
+    rh2 = jnp.clip(R // jnp.maximum(rw2, 1), 1, jnp.maximum(rh, 1))
+    rw2 = jnp.clip(R // jnp.maximum(rh2, 1), 1, jnp.maximum(rw, 1))
+    cx0 = jnp.clip(jnp.floor(xy_T[0] / tile_size).astype(jnp.int32),
+                   rect_min_x, rect_max_x - 1)
+    cy0 = jnp.clip(jnp.floor(xy_T[1] / tile_size).astype(jnp.int32),
+                   rect_min_y, rect_max_y - 1)
+    ox = jnp.clip(cx0 - rw2 // 2, rect_min_x, rect_max_x - rw2)
+    oy = jnp.clip(cy0 - rh2 // 2, rect_min_y, rect_max_y - rh2)
+    rw_e = jnp.where(over, rw2, rw)
+    rh_e = jnp.where(over, rh2, rh)
+    ox = jnp.where(over, ox, rect_min_x)
+    oy = jnp.where(over, oy, rect_min_y)
+    area_k = jnp.where(gauss_valid,
+                       jnp.minimum(rw_e * rh_e, R), 0)
 
     # --- dense (R, P) cell enumeration: zero gathers, pure broadcasting ---
     jj = jax.lax.broadcasted_iota(jnp.int32, (R, P), 0)
-    rw_f = jnp.maximum(rw, 1).astype(jnp.float32)[None, :]
+    rw_f = jnp.maximum(rw_e, 1).astype(jnp.float32)[None, :]
     # exact small-int div: jj < 32 and f32 division is correctly rounded
     ty = jnp.floor(jj.astype(jnp.float32) / rw_f).astype(jnp.int32)
-    tx = jj - ty * rw[None, :]
-    cellx = rect_min_x[None, :] + tx
-    celly = rect_min_y[None, :] + ty
+    tx = jj - ty * rw_e[None, :]
+    cellx = ox[None, :] + tx
+    celly = oy[None, :] + ty
     enum_ok = jj < area_k[None, :]
 
     # exact per-cell cull: pixel centers of cell (cx,cy) span
@@ -218,14 +245,15 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int, tile_size: int,
     if tile_mask is not None:
         trunc = jnp.where(masked_on, trunc, 0)
     dropped = (
-        jnp.sum(jnp.where(gauss_valid, jnp.maximum(area - R, 0), 0),
-                dtype=jnp.int32)
-        + jnp.sum(trunc, dtype=jnp.int32)
+        jnp.sum(trunc, dtype=jnp.int32)
         + (jnp.sum(kept_counts, dtype=jnp.int32) - num_entries)
     )
+    clipped = jnp.sum(
+        jnp.where(gauss_valid, jnp.maximum(area - area_k, 0), 0),
+        dtype=jnp.int32)
     return Binning(
         point_list=point_list, entry_tile=entry_tile, entry_valid=valid,
         tile_offsets=poffs, block_tile=block_tile,
         num_entries=num_entries, num_blocks=poffs[num_tiles] // align,
-        dropped=dropped,
+        dropped=dropped, clipped=clipped,
     )

@@ -270,6 +270,7 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
         out["normal"] = jnp.zeros((H, W, 3), jnp.float32)
 
     out["dropped_entries"] = b.dropped
+    out["clipped_cells"] = b.clipped
     out["num_entries"] = b.num_entries
     return out
 

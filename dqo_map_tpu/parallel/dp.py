@@ -261,6 +261,8 @@ def _dp_scan_factory(mesh: Mesh, settings: RenderSettings, iters: int,
             "loss": losses,
             "dropped_entries": jnp.broadcast_to(
                 jax.lax.pmax(jnp.max(binnings.dropped), axis), (iters,)),
+            "clipped_cells": jnp.broadcast_to(
+                jax.lax.pmax(jnp.max(binnings.clipped), axis), (iters,)),
             "num_entries": jnp.broadcast_to(
                 jax.lax.pmax(jnp.max(binnings.num_entries), axis), (iters,)),
         }

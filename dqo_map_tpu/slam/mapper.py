@@ -276,6 +276,8 @@ def optimize_scan(state: MapState, frames: dict, rand_idx: jnp.ndarray,
     # the scan's per-frame binnings (VERDICT r02: silent truncation risk)
     reports["dropped_entries"] = jnp.broadcast_to(
         jnp.max(binnings.dropped), (iters,))
+    reports["clipped_cells"] = jnp.broadcast_to(
+        jnp.max(binnings.clipped), (iters,))
     reports["num_entries"] = jnp.broadcast_to(
         jnp.max(binnings.num_entries), (iters,))
     return state, reports
@@ -631,6 +633,7 @@ class Mapping:
         # entry count seen across model renders and optimize scans); read
         # once at end of run via `dropped_entries()` — no per-frame sync
         self._dropped_dev = jnp.int32(0)
+        self._clipped_dev = jnp.int32(0)
         self._entries_dev = jnp.int32(0)
         self._warned_dropped = False
         self.save_path = args.save_path
@@ -680,15 +683,20 @@ class Mapping:
         self.model_map = out
         self._dropped_dev = jnp.maximum(self._dropped_dev,
                                         out["dropped_entries"])
+        self._clipped_dev = jnp.maximum(self._clipped_dev,
+                                        out["clipped_cells"])
         self._entries_dev = jnp.maximum(self._entries_dev,
                                         out["num_entries"])
         return out
 
     def dropped_entries(self) -> tuple:
-        """(max dropped entries, max entries used) across the run so far —
-        ONE device sync. Warns once when truncation occurred."""
+        """(max hard-dropped entries, max entries used, max clipped cells)
+        across the run so far — ONE device sync. Warns once when hard
+        truncation occurred. `clipped` is the R-window upper bound, not a
+        hard loss (see `ops.binning.Binning.clipped`)."""
         d = int(jax.device_get(self._dropped_dev))
         e = int(jax.device_get(self._entries_dev))
+        c = int(jax.device_get(self._clipped_dev))
         if d > 0 and not self._warned_dropped:
             self._warned_dropped = True
             import sys
@@ -696,7 +704,7 @@ class Mapping:
                   f"(max {d} entries dropped; raise entry_cap / "
                   f"entries_per_gaussian / max_chunks_per_tile)",
                   file=sys.stderr)
-        return d, e
+        return d, e, c
 
     @staticmethod
     @partial(jax.jit, static_argnames=("settings", "bucket", "with_n_touched"))
@@ -944,6 +952,8 @@ class Mapping:
         _pr(f"local/optimize_scan x{iters}", t0, self.state.xyz)
         self._dropped_dev = jnp.maximum(self._dropped_dev,
                                         reports["dropped_entries"][-1])
+        self._clipped_dev = jnp.maximum(self._clipped_dev,
+                                        reports["clipped_cells"][-1])
         self._entries_dev = jnp.maximum(self._entries_dev,
                                         reports["num_entries"][-1])
         t0 = _now()
@@ -1037,6 +1047,8 @@ class Mapping:
             )
         self._dropped_dev = jnp.maximum(self._dropped_dev,
                                         reports["dropped_entries"][-1])
+        self._clipped_dev = jnp.maximum(self._clipped_dev,
+                                        reports["clipped_cells"][-1])
         self._entries_dev = jnp.maximum(self._entries_dev,
                                         reports["num_entries"][-1])
         if self.logger.enabled:
@@ -1083,7 +1095,14 @@ class Mapping:
                 self.global_optimization(self.args.global_keyframe_num)
                 _pr("global_optimization", t0, self.state.xyz)
             if object_layer is not None and (is_keyframe or frame_id == 0):
-                object_layer.optimize_objects(frame, frame_id)
+                if int(getattr(self.opt, "object_mode", 1)) == 1:
+                    object_layer.optimize_objects(frame, frame_id)
+        # MODE=0 alternate path (ref mapper.py:223-226): frame-end render
+        # -based object refinement + quadric map write-back. The 64-slot
+        # one-gaussian-per-object render is tiny next to a map render.
+        if (object_layer is not None and frame.detections
+                and int(getattr(self.opt, "object_mode", 1)) == 0):
+            object_layer.optimize_objects_render(frame, self.settings)
             self.state = gaussians_delete(
                 self.state, jnp.int32(self.time),
                 self.args.unstable_time_window, unstable=False)

@@ -96,8 +96,18 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.nda
 
 def ms_ssim(img1: jnp.ndarray, img2: jnp.ndarray, levels: int = 5) -> jnp.ndarray:
     """Multi-scale SSIM ((C,H,W)), standard weights, for eval parity with
-    pytorch_msssim (ref `SLAM/eval.py`)."""
+    pytorch_msssim (ref `SLAM/eval.py`). Levels adapt down when the image is
+    too small for 5 halvings (the 11-tap window needs >=11 px per side), so
+    small eval crops score with fewer scales instead of failing."""
+    H, W = img1.shape[-2:]
+    max_lv = 1
+    side = min(H, W)
+    while max_lv < levels and (side >> 1) >= 11:
+        side >>= 1
+        max_lv += 1
+    levels = min(levels, max_lv)
     weights = jnp.array([0.0448, 0.2856, 0.3001, 0.2363, 0.1333])[:levels]
+    weights = weights / weights.sum()
 
     def downsample(x):
         C, H, W = x.shape

@@ -177,3 +177,55 @@ def test_association_variants():
             assert d < 0.5, (mode, d)
         counts[mode] = len(layer.objects)
     assert set(counts) == {"iou", "qd", "iou_qd"}
+
+
+def test_refine_objects_render_mode0():
+    """MODE=0: the render-based object refinement (one gaussian per
+    ellipsoid, L1 against the object-color image) must pull a perturbed
+    center back toward the GT configuration (ref mapper.py:223-226,
+    gaussian_pointcloud.py:380-413)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from dqo_map_tpu.models.cameras import Camera
+    from dqo_map_tpu.models.quadrics import MAX_OBJECTS, refine_objects_render
+    from dqo_map_tpu.ops.rasterize import RenderSettings, rasterize
+    from dqo_map_tpu.utils.math3d import normalize
+
+    W, H = 64, 48
+    cam_obj = Camera(uid=0, c2w=np.eye(4), fx=50.0, fy=50.0, cx=W / 2,
+                     cy=H / 2, width=W, height=H)
+    cam = cam_obj.render_inputs()
+    settings = RenderSettings(width=W, height=H, impl="ref",
+                              max_tiles_per_gaussian=16)
+
+    O = MAX_OBJECTS
+    log_axes = np.full((O, 3), np.log(1e-4), np.float32)
+    quat = np.tile(np.array([1, 0, 0, 0], np.float32), (O, 1))
+    center = np.zeros((O, 3), np.float32)
+    colors = np.zeros((O, 3), np.float32)
+    opt_mask = np.zeros((O,), bool)
+    # one GT object in front of the camera
+    gt_center = np.array([0.1, 0.0, 2.0], np.float32)
+    log_axes[0] = np.log([0.4, 0.3, 0.2])
+    center[0] = gt_center
+    colors[0] = [0.9, 0.2, 0.1]
+    opt_mask[0] = True
+
+    gt_img = rasterize(
+        jnp.asarray(center), jnp.exp(jnp.asarray(log_axes)),
+        normalize(jnp.asarray(quat)), jnp.where(jnp.asarray(opt_mask), 0.99, 0.0),
+        jnp.asarray(colors), cam, settings, valid_mask=jnp.asarray(opt_mask),
+        with_normal=False, with_n_touched=False)["render"]
+
+    # perturb the center and refine against the GT image
+    center_p = center.copy()
+    center_p[0] += [0.15, -0.1, 0.0]
+    err0 = np.linalg.norm(center_p[0] - gt_center)
+    new_la, new_q, new_c = refine_objects_render(
+        jnp.asarray(log_axes), jnp.asarray(quat), jnp.asarray(center_p),
+        jnp.asarray(colors), jnp.asarray(opt_mask), cam,
+        gt_img, settings, iters=80, object_weight=1.0, lr_center=0.03)
+    err1 = float(np.linalg.norm(np.asarray(new_c)[0] - gt_center))
+    assert err1 < 0.5 * err0, (err0, err1)
+    # untouched slots must not move
+    assert np.allclose(np.asarray(new_c)[1:], center[1:])
