@@ -43,7 +43,10 @@ def main():
     frames = int(os.environ.get("BENCH_FRAMES", 30))
     W = int(os.environ.get("BENCH_W", 1200))
     H = int(os.environ.get("BENCH_H", 680))
-    warmup = int(os.environ.get("BENCH_WARMUP", 14))
+    # warmup must cover the first KEYFRAME global-optimize event (~frame 17
+    # on this trajectory): its compact-scan compile otherwise lands inside
+    # the measurement window (a multi-minute XLA compile through the tunnel)
+    warmup = int(os.environ.get("BENCH_WARMUP", 20))
     samples = int(os.environ.get("BENCH_SAMPLES", 40800))
     bucket = int(os.environ.get("BENCH_BUCKET", 1 << 18))
     spike_ms = float(os.environ.get("BENCH_SPIKE_MS", 1500.0))
@@ -51,6 +54,9 @@ def main():
 
     from dqo_map_tpu.utils.compile_cache import enable_compilation_cache
     enable_compilation_cache()
+    if os.environ.get("BENCH_LOG_COMPILES"):
+        import jax
+        jax.config.update("jax_log_compiles", True)
 
     from dqo_map_tpu.config import default_config
     from dqo_map_tpu.data.synthetic import synthetic_sequence
@@ -59,8 +65,21 @@ def main():
 
     cfg = default_config(
         type="Synthetic", save_path="/tmp/bench_out", use_object=True,
-        use_gt_pose=False, icp_use_model_depth=False,
+        # icp_use_model_depth matches the benched reference configuration
+        # (/root/reference/configs/replica_base.yaml:27) and anchors ICP to
+        # the fused map depth instead of frame-to-frame chaining (r03's ATE
+        # drift came from accumulating ~5e-4 relative error per frame)
+        use_gt_pose=False,
+        icp_use_model_depth=os.environ.get("BENCH_ICP_MODEL", "1") == "1",
+        local_opt_mode=os.environ.get("BENCH_LOCAL_MODE", "bg"),
         capacity=1 << 19, add_capacity=16384, initial_bucket=bucket,
+        # ladder plateaus for this workload — pinned so no rung moves (=
+        # recompiles) happen mid-run; the JSON reports the end-of-run rungs
+        # for re-tuning these
+        initial_entry_rung=int(os.environ.get("BENCH_ENTRY_RUNG", 1 << 19)),
+        initial_ubucket=int(os.environ.get("BENCH_UBUCKET", 1 << 17)),
+        initial_uentry_rung=int(os.environ.get("BENCH_UENTRY", 1 << 18)),
+        initial_gentry_rung=int(os.environ.get("BENCH_GENTRY", 1 << 19)),
         uniform_sample_num=samples, gaussian_update_frame=6,
         gaussian_update_iter=50, stable_confidence_thres=20,
         global_keyframe_num=3,
@@ -108,6 +127,16 @@ def main():
     mean_s = sum(times) / n
     fps = 1.0 / mean_s
 
+    # ---- quality receipts at the END OF THE TIMING PASS (frame `frames-1`)
+    # — the apples-to-apples eval point across rounds (r02 evaluated frame
+    # 29; r03 moved it after the profile pass, which made its PSNR/ATE
+    # incomparable — VERDICT r03 Weak #2). The post-profile numbers are
+    # reported separately as *_final.
+    from dqo_map_tpu.eval.evaluate import eval_frame
+    m_timed = eval_frame(system.mapping, cams[frames - 1], min_depth=0.1,
+                         max_depth=8.0)
+    ate_timed = system.tracker.eval_ate_series()
+
     # ---- profile pass: per-stage receipts (device-synced timers) ----
     mapper_mod.profile_enable(True)
     mapper_mod.stage_times(reset=True)
@@ -131,14 +160,18 @@ def main():
                 entry["per_iter_ms"] = round(mean_ms / iters, 2)
             stages[cls][tag] = entry
 
-    dropped, entries_max, clipped = system.mapping.dropped_entries()
+    dropped, entries_max, clipped, tile_dropped = \
+        system.mapping.dropped_entries()
 
-    from dqo_map_tpu.eval.evaluate import eval_frame
-    m = eval_frame(system.mapping, cams[total_frames - 1], min_depth=0.1,
-                   max_depth=8.0)
-    ate = system.tracker.eval_ate_series()
+    m = m_timed
+    ate = ate_timed
+    m_final = eval_frame(system.mapping, cams[total_frames - 1],
+                         min_depth=0.1, max_depth=8.0)
+    ate_final = system.tracker.eval_ate_series()
     print(f"# psnr={m['psnr']:.2f} depth_l1={m['depth_l1_cm']:.2f}cm "
-          f"ate={ate:.2f}cm", file=sys.stderr)
+          f"ate={ate:.2f}cm (frame {frames-1}); "
+          f"final psnr={m_final['psnr']:.2f} ate={ate_final:.2f}cm",
+          file=sys.stderr)
     print(f"# p50={1000*p50:.1f} p95={1000*p95:.1f} max={1000*tmax:.1f} ms"
           f"  tracker mean={1000*sum(tr_times)/n:.1f} "
           f"mapper mean={1000*sum(mp_times)/n:.1f}", file=sys.stderr)
@@ -164,6 +197,7 @@ def main():
         "mapper_ms": round(1000 * sum(mp_times) / n, 1),
         "warmup_s": round(warmup_s, 1) if warmup_s else None,
         "dropped_entries": dropped,
+        "tile_dropped": tile_dropped,
         "clipped_cells": clipped,
         "entries_max": entries_max,
         "entries_per_s": int(entries_max * fps),
@@ -171,6 +205,18 @@ def main():
         "psnr": round(float(m["psnr"]), 2),
         "depth_l1_cm": round(float(m["depth_l1_cm"]), 2),
         "ate_cm": round(float(ate), 3),
+        "eval_frame": frames - 1,
+        "psnr_final": round(float(m_final["psnr"]), 2),
+        "depth_l1_final_cm": round(float(m_final["depth_l1_cm"]), 2),
+        "ate_full_cm": round(float(ate_final), 3),
+        "icp_fail_count": system.tracker.icp_fail_count,
+        "rungs": {
+            "entry": system.mapping.entry_rung,
+            "uentry": system.mapping.uentry_rung,
+            "gentry": system.mapping.gentry_rung,
+            "ubucket": system.mapping.ubucket,
+            "bucket": system.mapping.bucket,
+        },
         "frames_over_spike_ms": spikes,
     }))
 

@@ -131,6 +131,21 @@ class MapParams:
     entry_cap: int = 1 << 20                  # static sorted-entry capacity
     entries_per_gaussian: int = 6             # expected tile duplication
     max_chunks_per_tile: int = 32             # per-tile entry cap / CHUNK
+    initial_entry_rung: int = 1 << 16         # entry-cap ladder start (grows
+                                              # by 2x toward entry_cap as
+                                              # observed usage approaches)
+    # compact-scan ladder starts (pin these at the workload plateau: every
+    # mid-run rung move recompiles the optimize scan, which costs minutes
+    # through a tunneled TPU)
+    initial_ubucket: int = 8192               # unstable substate rows
+    initial_uentry_rung: int = 1 << 15        # unstable-scan entry cap
+    initial_gentry_rung: int = 1 << 18        # compact-global entry cap
+
+    # local-optimize render mode: "bg" composites the unstable render in
+    # front of a per-scan pre-blended stable background (~10x cheaper per
+    # iteration); "global" renders the full subset per iteration (exact
+    # reference semantics, ref mapper.py:584)
+    local_opt_mode: str = "bg"
 
     # optimize cadence
     gaussian_update_iter: int = 50
@@ -192,7 +207,12 @@ class TrackingParams:
     icp_sample_distance_threshold: float = 0.01
     icp_sample_normal_threshold: float = 0.01
     icp_warmup_frames: int = 0
-    icp_fail_threshold: float = 0.02
+    # NOTE: our failure metric is the mean-squared residual over the ICP's
+    # final INLIER associations (see slam/icp.py:icp_pyramid docstring), not
+    # the reference's unmasked pixelwise compare — thresholds are ~1e-4, not
+    # the reference's 0.02
+    icp_fail_threshold: float = 1e-4
+    icp_min_valid_ratio: float = 0.3
     min_depth: float = 0.3
     max_depth: float = 5.0
     depth_filter: bool = False
@@ -201,6 +221,11 @@ class TrackingParams:
     orb_vocab_path: str = ""
     orb_settings_path: str = ""
     orb_useicp: bool = True
+    orb_max_feats: int = 1000
+    orb_loop_closing: bool = True
+    orb_loop_min_gap: int = 20
+    orb_loop_min_inliers: int = 25
+    orb_loop_every: int = 5
     tracker_max_fps: int = 30
     mode: str = "single process"
     verbose: bool = False

@@ -54,8 +54,13 @@ class Binning(NamedTuple):
     block_tile: jnp.ndarray    # (entry_cap/align,) int32 tile per block (-1 unused)
     num_entries: jnp.ndarray   # () int32 valid entries kept
     num_blocks: jnp.ndarray    # () int32 align-sized blocks actually used
-    dropped: jnp.ndarray       # () int32 HARD losses (per-tile chunk cap +
-                               #    global entry budget) — must stay 0
+    dropped: jnp.ndarray       # () int32 GLOBAL entry-budget losses — the
+                               #    entry-cap ladder's signal; must stay 0
+    tile_dropped: jnp.ndarray  # () int32 per-tile chunk-cap losses (the
+                               #    FARTHEST entries of overfull tiles;
+                               #    raise max_chunks_per_tile) — reported
+                               #    separately so budget ladders don't grow
+                               #    on tile congestion
     clipped: jnp.ndarray       # () int32 upper bound of rect cells clipped
                                #    by the per-gaussian R window (most would
                                #    have been conic-culled; centered window
@@ -244,10 +249,8 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int, tile_size: int,
     trunc = counts - kept_counts
     if tile_mask is not None:
         trunc = jnp.where(masked_on, trunc, 0)
-    dropped = (
-        jnp.sum(trunc, dtype=jnp.int32)
-        + (jnp.sum(kept_counts, dtype=jnp.int32) - num_entries)
-    )
+    tile_dropped = jnp.sum(trunc, dtype=jnp.int32)
+    dropped = jnp.sum(kept_counts, dtype=jnp.int32) - num_entries
     clipped = jnp.sum(
         jnp.where(gauss_valid, jnp.maximum(area - area_k, 0), 0),
         dtype=jnp.int32)
@@ -255,5 +258,5 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int, tile_size: int,
         point_list=point_list, entry_tile=entry_tile, entry_valid=valid,
         tile_offsets=poffs, block_tile=block_tile,
         num_entries=num_entries, num_blocks=poffs[num_tiles] // align,
-        dropped=dropped, clipped=clipped,
+        dropped=dropped, tile_dropped=tile_dropped, clipped=clipped,
     )

@@ -183,19 +183,32 @@ def gather_entry_feats(point_list, valid_entries, xy, conic, opacity, color,
 
 def blend_tiles_ref(feats: dict, entry_tile: jnp.ndarray, num_tiles: int,
                     tile_size: int, width: int, height: int, K: jnp.ndarray,
-                    params: BlendParams, bg: jnp.ndarray):
-    """Pure-JAX tile loop: every tile scans ALL entries with a tile mask.
+                    params: BlendParams, bg: jnp.ndarray,
+                    tile_offsets: jnp.ndarray = None, window: int = None):
+    """Pure-JAX tile loop (reference/CPU path; the TPU fast path is the
+    Pallas kernel).
 
-    O(T x L) — reference/teaching implementation used for tests and CPU; the
-    TPU fast path is the Pallas kernel with per-tile ranges.
+    Without `tile_offsets` every tile scans ALL entries with a tile mask —
+    O(T x L). With `tile_offsets` (the binning's aligned per-tile starts)
+    each tile scans only a `window`-entry slice starting at its own offset
+    (entries are laid out contiguously per tile), cutting the CPU cost by
+    L/window; out-of-tile entries inside a clamped window are masked.
     Returns dict of (H,W,…) maps + n_touched per entry (L,).
     """
     TH = (height + tile_size - 1) // tile_size
     TW = (width + tile_size - 1) // tile_size
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     n = tile_size * tile_size
+    L = entry_tile.shape[0]
+    win = min(L, window) if (tile_offsets is not None and window) else L
 
+    @jax.checkpoint
     def one_tile(t):
+        # rematerialized: under value_and_grad the (K, n) per-tile
+        # intermediates would otherwise all be saved as residuals — at
+        # entry_cap 32k x 80 tiles that is a ~180 GB arena on CPU (observed).
+        # Recomputing the tile blend in the backward keeps the ref path's
+        # grad memory at one tile's working set.
         ty = t // TW
         tx = t % TW
         px = (tx * tile_size + jnp.arange(tile_size, dtype=jnp.int32))[None, :]
@@ -208,8 +221,18 @@ def blend_tiles_ref(feats: dict, entry_tile: jnp.ndarray, num_tiles: int,
         )
         ray = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
 
-        tile_feats = dict(feats)
-        tile_feats["valid"] = feats["valid"] & (entry_tile == t)
+        if win < L:
+            start = jnp.minimum(tile_offsets[t], L - win)
+            tile_feats = {
+                k: jax.lax.dynamic_slice_in_dim(v, start, win, 0)
+                for k, v in feats.items()
+            }
+            et = jax.lax.dynamic_slice_in_dim(entry_tile, start, win, 0)
+        else:
+            start = jnp.int32(0)
+            tile_feats = dict(feats)
+            et = entry_tile
+        tile_feats["valid"] = tile_feats["valid"] & (et == t)
         state = init_pixel_state(n)
         state, n_touched = blend_chunk(state, tile_feats, pix_xy, ray, params)
         out_color = state.color + state.end_T[:, None] * bg[None, :]
@@ -217,10 +240,16 @@ def blend_tiles_ref(feats: dict, entry_tile: jnp.ndarray, num_tiles: int,
             out_color, state.hit_depth, state.hit_id, state.best_id,
             state.best_w, state.hit_depth_weight, state.end_T,
             state.weight_sum, state.hit_normal,
-        ), n_touched
+        ), (n_touched, start)
 
-    outs, n_touched_tiles = jax.lax.map(one_tile, jnp.arange(num_tiles, dtype=jnp.int32))
-    n_touched = n_touched_tiles.sum(axis=0)
+    outs, (n_touched_tiles, starts) = jax.lax.map(
+        one_tile, jnp.arange(num_tiles, dtype=jnp.int32))
+    if win < L:
+        pos = starts[:, None] + jnp.arange(win)[None, :]
+        n_touched = jnp.zeros((L,), jnp.int32).at[pos.reshape(-1)].add(
+            n_touched_tiles.reshape(-1), mode="drop")
+    else:
+        n_touched = n_touched_tiles.sum(axis=0)
 
     def untile(x, ch=None):
         shape = (TH, TW, tile_size, tile_size) + ((ch,) if ch else ())

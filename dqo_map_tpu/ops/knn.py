@@ -65,8 +65,21 @@ def knn(queries: jnp.ndarray, candidates: jnp.ndarray,
             if exact:
                 nd_neg, ni = jax.lax.top_k(-d, k)
                 nd = -nd_neg
-            else:
+            elif jax.default_backend() == "tpu":
                 nd, ni = jax.lax.approx_min_k(d, k)
+            else:
+                # CPU: sort-based top-k is minutes at these widths; linear
+                # min+mask extraction instead (see knn2.sel)
+                nds, nis = [], []
+                dd = d
+                for _ in range(k):
+                    i_min = jnp.argmin(dd, axis=1)
+                    nds.append(jnp.take_along_axis(dd, i_min[:, None],
+                                                   axis=1))
+                    nis.append(i_min[:, None].astype(jnp.int32))
+                    dd = dd.at[jnp.arange(dd.shape[0]), i_min].set(BIG)
+                nd = jnp.concatenate(nds, axis=1)
+                ni = jnp.concatenate(nis, axis=1)
             ni = ni + j * col_chunk
             cat_d = jnp.concatenate([best_d, nd], axis=1)
             cat_i = jnp.concatenate([best_i, ni], axis=1)
@@ -82,6 +95,109 @@ def knn(queries: jnp.ndarray, candidates: jnp.ndarray,
     dists = dists.reshape(Mp, k)[:M]
     idxs = idxs.reshape(Mp, k)[:M]
     return jnp.maximum(dists, 0.0), idxs
+
+
+@partial(jax.jit, static_argnames=("k", "row_chunk", "col_chunk", "exact"))
+def knn2(queries: jnp.ndarray, candidates: jnp.ndarray,
+         mask_a: jnp.ndarray, mask_b: jnp.ndarray, k: int = 4,
+         row_chunk: int = 4096, col_chunk: int = 65536, exact: bool = False):
+    """Two class-restricted k-NN searches sharing ONE distance-matrix pass.
+
+    The densify pipeline needs (a) nearest UNSTABLE neighbors (coverage
+    filter, ref mapper.py:1351-1380) and (b) nearest among new+alive (scale
+    init, ref gaussian_pointcloud.py:519-570) for the same queries — running
+    `knn` twice streams the (M, N) distance matrix through HBM twice
+    (hardware-profiled: 47 ms per 16k x 262k search, bandwidth-bound on the
+    materialized matrix). This fuses them: d is computed ONCE per chunk in
+    bf16 (ranking-safe: NN gaps are far above bf16's ~0.4% relative error;
+    the returned d2 is recomputed in f32 for the winners), masked two ways,
+    reduced twice.
+    Returns ((d_a, i_a), (d_b, i_b)), each (M, k); d in f32.
+    """
+    M = queries.shape[0]
+    N = candidates.shape[0]
+    row_chunk = min(row_chunk, M)
+    col_chunk = min(col_chunk, N)
+    n_row = -(-M // row_chunk)
+    n_col = -(-N // col_chunk)
+    Mp = n_row * row_chunk
+    Np = n_col * col_chunk
+
+    q = jnp.pad(queries, ((0, Mp - M), (0, 0)))
+    c = jnp.pad(candidates, ((0, Np - N), (0, 0)))
+    ma = jnp.pad(mask_a, (0, Np - N))
+    mb = jnp.pad(mask_b, (0, Np - N))
+    q2 = jnp.sum(q * q, axis=1)
+    c2 = jnp.sum(c * c, axis=1)
+    # bf16 distance matrix halves the HBM traffic that bounds this op on
+    # TPU; on CPU bf16 is emulated (slow), keep f32 there
+    cdt = (jnp.bfloat16 if (not exact and jax.default_backend() == "tpu")
+           else jnp.float32)
+    BIGC = jnp.asarray(BIG, cdt)
+
+    on_tpu = jax.default_backend() == "tpu"
+
+    def sel(d, best_d, best_i, j):
+        if exact:
+            nd_neg, ni = jax.lax.top_k(-d, k)
+            nd = -nd_neg
+        elif on_tpu:
+            nd, ni = jax.lax.approx_min_k(d, k)
+        else:
+            # CPU: approx_min_k/top_k lower to a FULL SORT per row (minutes
+            # at these widths); k passes of min+mask are linear instead
+            nds, nis = [], []
+            dd = d
+            for _ in range(k):
+                i_min = jnp.argmin(dd, axis=1)
+                nds.append(jnp.take_along_axis(dd, i_min[:, None], axis=1))
+                nis.append(i_min[:, None].astype(jnp.int32))
+                dd = dd.at[jnp.arange(dd.shape[0]), i_min].set(BIGC)
+            nd = jnp.concatenate(nds, axis=1)
+            ni = jnp.concatenate(nis, axis=1)
+        ni = ni + j * col_chunk
+        cat_d = jnp.concatenate([best_d, nd.astype(jnp.float32)], axis=1)
+        cat_i = jnp.concatenate([best_i, ni], axis=1)
+        md, mi = jax.lax.top_k(-cat_d, k)
+        return -md, jnp.take_along_axis(cat_i, mi, axis=1)
+
+    def row_block(r):
+        qr = jax.lax.dynamic_slice(q, (r * row_chunk, 0), (row_chunk, 3))
+        q2r = jax.lax.dynamic_slice(q2, (r * row_chunk,), (row_chunk,))
+
+        def col_step(carry, j):
+            (da, ia), (db, ib) = carry
+            cc = jax.lax.dynamic_slice(c, (j * col_chunk, 0), (col_chunk, 3))
+            c2c = jax.lax.dynamic_slice(c2, (j * col_chunk,), (col_chunk,))
+            mac = jax.lax.dynamic_slice(ma, (j * col_chunk,), (col_chunk,))
+            mbc = jax.lax.dynamic_slice(mb, (j * col_chunk,), (col_chunk,))
+            d = (
+                q2r[:, None] + c2c[None, :]
+                - 2.0 * jnp.dot(qr, cc.T, preferred_element_type=jnp.float32)
+            ).astype(cdt)
+            da, ia = sel(jnp.where(mac[None, :], d, BIGC), da, ia, j)
+            db, ib = sel(jnp.where(mbc[None, :], d, BIGC), db, ib, j)
+            return ((da, ia), (db, ib)), None
+
+        init1 = (jnp.full((row_chunk, k), BIG),
+                 jnp.zeros((row_chunk, k), jnp.int32))
+        init2 = (jnp.full((row_chunk, k), BIG),
+                 jnp.zeros((row_chunk, k), jnp.int32))
+        (ra, rb), _ = jax.lax.scan(col_step, (init1, init2),
+                                   jnp.arange(n_col))
+        return ra, rb
+
+    (da, ia), (db, ib) = jax.lax.map(row_block, jnp.arange(n_row))
+    out = []
+    for d_, i_ in ((da, ia), (db, ib)):
+        d_ = d_.reshape(Mp, k)[:M]
+        i_ = i_.reshape(Mp, k)[:M]
+        # exact f32 distances for the winners (the bf16 pass only ranked)
+        sel_c = jnp.take(c, i_.reshape(-1), axis=0).reshape(M, k, 3)
+        d2 = jnp.sum((queries[:, None, :] - sel_c) ** 2, axis=-1)
+        d2 = jnp.where(d_ >= BIG * 0.5, BIG, d2)   # masked-out stay invalid
+        out.append((jnp.maximum(d2, 0.0), i_))
+    return out[0], out[1]
 
 
 def update_geometry_scales(new_xyz: jnp.ndarray, new_valid: jnp.ndarray,
@@ -100,7 +216,22 @@ def update_geometry_scales(new_xyz: jnp.ndarray, new_valid: jnp.ndarray,
     """
     M_q = new_xyz.shape[0]
     d2, idx = knn(new_xyz, cand_xyz, cand_valid, k=4)
+    return scales_from_knn(d2, idx, new_valid, cand_radius, None,
+                           scale_factor, xyz_factor, min_radius, max_radius)
+
+
+def scales_from_knn(d2: jnp.ndarray, idx: jnp.ndarray,
+                    new_valid: jnp.ndarray, cand_radius: jnp.ndarray,
+                    cand_excluded, scale_factor: float, xyz_factor: tuple,
+                    min_radius: float, max_radius: float):
+    """`update_geometry_scales` tail on PRECOMPUTED (d2, idx) — lets the
+    densify pipeline share one fused `knn2` pass between the coverage filter
+    and the scale init. `cand_excluded` (N,) optionally drops candidates
+    decided invalid after the search (e.g. coverage-filtered new points)."""
+    M_q = d2.shape[0]
     self_m = idx == jnp.arange(M_q)[:, None]
+    if cand_excluded is not None:
+        self_m = self_m | cand_excluded[idx]
     d2 = jnp.where(self_m, BIG, d2)
     order = jnp.argsort(d2, axis=1)[:, :3]
     d2 = jnp.take_along_axis(d2, order, axis=1)

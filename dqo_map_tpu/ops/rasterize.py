@@ -141,6 +141,34 @@ def coverage_tile_mask(means3d: jnp.ndarray, scales: jnp.ndarray,
     return (cov > 0.5).astype(jnp.int32)
 
 
+def gaussian_tile_overlap(pre: "Preprocessed", tile_mask: jnp.ndarray,
+                          tile_size: int, TH: int, TW: int) -> jnp.ndarray:
+    """(P,) bool: does each valid gaussian's projected rect overlap ANY
+    masked-on tile? The transpose of `coverage_tile_mask`'s matmul: with
+    Ax (P,TW) / Ay (P,TH) interval indicators and M (TH,TW) the mask,
+    hit_p = sum_ty Ay[p,ty] * (M @ Ax^T)[ty,p] > 0 — two MXU matmuls,
+    no binning sort. Used to compact the optimize set to gaussians that can
+    contribute to (or receive gradient from) the masked tiles."""
+    xy = jax.lax.stop_gradient(pre.xy)
+    radius = jnp.where(pre.valid, jax.lax.stop_gradient(pre.radius), -1.0)
+    ts = tile_size
+    xmin = jnp.floor((xy[:, 0] - radius) / ts)
+    xmax = jnp.floor((xy[:, 0] + radius + ts - 1) / ts)
+    ymin = jnp.floor((xy[:, 1] - radius) / ts)
+    ymax = jnp.floor((xy[:, 1] + radius + ts - 1) / ts)
+    tx = jnp.arange(TW, dtype=jnp.float32)
+    ty = jnp.arange(TH, dtype=jnp.float32)
+    Ax = ((tx[None, :] >= xmin[:, None]) & (tx[None, :] < xmax[:, None])
+          & (radius > 0)[:, None]).astype(jnp.float32)      # (P, TW)
+    Ay = ((ty[None, :] >= ymin[:, None])
+          & (ty[None, :] < ymax[:, None])).astype(jnp.float32)  # (P, TH)
+    M = tile_mask.astype(jnp.float32)                        # (TH, TW)
+    Mx = jax.lax.dot_general(M, Ax, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (TH, P)
+    hit = jnp.sum(Ay * Mx.T, axis=1)
+    return hit > 0.5
+
+
 @partial(jax.jit, static_argnames=("settings",))
 def compute_binning(means3d: jnp.ndarray, scales: jnp.ndarray,
                     rots: jnp.ndarray, cam: dict, settings: RenderSettings,
@@ -232,6 +260,7 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
             max_chunks=max_chunks,
         )
     else:
+        from .blend_pallas import CHUNK
         feats = gather_entry_feats(
             b.point_list, entry_valid, pre.xy, pre.conic, opacities, colors,
             pre.depth, pre.mean_c, pre.normal_c, pre.scale_max,
@@ -239,6 +268,7 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
         out = blend_tiles_ref(
             feats, b.entry_tile, num_tiles, settings.tile_size, W, H,
             cam["K"], params, bg,
+            tile_offsets=b.tile_offsets, window=CHUNK * max_chunks,
         )
 
     # n_touched per gaussian (segment sum over entries) — the scatter-add is
@@ -270,6 +300,7 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
         out["normal"] = jnp.zeros((H, W, 3), jnp.float32)
 
     out["dropped_entries"] = b.dropped
+    out["tile_dropped"] = b.tile_dropped
     out["clipped_cells"] = b.clipped
     out["num_entries"] = b.num_entries
     return out

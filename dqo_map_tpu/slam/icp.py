@@ -185,7 +185,8 @@ class IcpConfig(NamedTuple):
     distance_threshold: float = 0.1
     normal_threshold_cos: float = float(math.cos(math.radians(20.0)))
     damping: float = 1e-4
-    fail_threshold: float = 0.02
+    fail_threshold: float = 1e-4
+    min_valid_ratio: float = 0.3
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -196,7 +197,20 @@ def icp_pyramid(vertex_pyr0: tuple, normal_pyr0: tuple, vertex_pyr1: tuple,
     Estimates pose10 such that pyr1 points map onto pyr0 (note the reference
     swaps argument order at the call site: `icp(pose, vertex_t1, vertex_t0,
     ...)` — template is the CURRENT frame, warped onto the LAST model depth).
-    Returns (pose10 (4,4), p2p loss at finest level, valid ratio).
+    Returns (pose10 (4,4), p2p residual at finest level, valid ratio).
+
+    Failure metric — deliberate deviation from the reference: the reference
+    compares the two vertex maps PIXELWISE without association and without a
+    validity mask (ref icp.py:449-455), so pixels that are invalid in one
+    frame (grazing-angle confidence culls zero them) contribute garbage
+    residuals of metres, and silhouette pixels (different surfaces at the
+    same pixel) dominate the rest — on partially-valid depth the metric
+    fires even at the GROUND-TRUTH relative pose (measured: p2p@gt == p2p@es
+    = 3x threshold while the pose error was 5e-4). Here `p2p` is the
+    mean-squared point-to-plane residual over the ICP's OWN final inlier
+    associations (projective warp + distance/normal gating — exactly what GN
+    minimized), which is ~1e-6 for a converged pose and jumps orders of
+    magnitude on divergence. Thresholds are accordingly ~1e-4, not 0.02.
     """
     pose = jnp.eye(4, dtype=jnp.float32)
     valid_ratio = jnp.float32(0.0)
@@ -208,10 +222,12 @@ def icp_pyramid(vertex_pyr0: tuple, normal_pyr0: tuple, vertex_pyr1: tuple,
             normal_pyr1[level], normal_pyr0[level], Kd, iters,
             cfg.distance_threshold, cfg.normal_threshold_cos, cfg.damping,
         )
-    p2p = point2plane_loss(
-        vertex_pyr0[-1],
-        jnp.matmul(vertex_pyr1[-1], pose[:3, :3].T,
-                   precision=jax.lax.Precision.HIGHEST) + pose[:3, 3],
-        normal_pyr0[-1],
-    )
+    v1, n1 = vertex_pyr1[-1], normal_pyr1[-1]
+    v0, n0 = vertex_pyr0[-1], normal_pyr0[-1]
+    res, _, inlier = icp_residuals_jacobian(
+        v1, v0, n1, n0, v1[..., 2] > 0.0, pose, K,
+        cfg.distance_threshold, cfg.normal_threshold_cos)
+    n_in = jnp.sum(inlier)
+    p2p = jnp.sum(res * res) / jnp.maximum(n_in, 1)
+    valid_ratio = n_in / res.shape[0]
     return pose, p2p, valid_ratio

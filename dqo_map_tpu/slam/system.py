@@ -77,16 +77,25 @@ class SLAMSystem:
 
     # ------------------------------------------------------------------
     def step(self, frame: Camera, frame_id: int) -> dict:
-        """One tracked+mapped frame (ref `slam.py:98-169`)."""
+        """One tracked+mapped frame (ref `slam.py:98-169`).
+
+        Timing note: under loose/free sync the `tracker_s` split is HOST
+        DISPATCH time — when the device queue is still draining the mapper's
+        previous work, the tracker's first enqueue blocks and that wait is
+        booked here (r03 mislabeled it as tracker compute). The profile pass
+        emits a device-synced `tracker` stage with the true compute time.
+        """
+        from .mapper import _now, _pr
         t0 = time.time()
+        tp0 = _now()
         frame_map = self.tracker.map_preprocess(frame, frame_id)
         self.tracker.tracking(frame, frame_map)
+        _pr("tracker", tp0, frame_map["vertex_map_w"])
         t1 = time.time()
         self.recorder.update_mean("tracking", t1 - t0)
 
         self.mapping.mapping(frame, frame_map, frame_id, self.object_layer,
                              defer_finalize=True)
-        from .mapper import _now, _pr
         tr = _now()
         # The end-of-frame model render (ref slam.py:139 get_render_output)
         # is consumed by (a) the finalize error accumulation and (b) the
@@ -95,8 +104,13 @@ class SLAMSystem:
         # render from `gaussians_add` (same pose, same map minus this
         # frame's brand-new points, whose error counters are zero anyway) is
         # an equivalent input to (a) — skip the second full render.
-        need_fresh = (self.tracker.icp_use_model_depth
-                      or getattr(self.mapping, "did_optimize", True)
+        # With icp_use_model_depth the pre-densify render also serves the
+        # fusion: `fuse_model_depth` overwrites every pixel where model and
+        # frame depth disagree with the FRAME depth, so the regions this
+        # frame's brand-new gaussians would change are filled from the frame
+        # either way — only optimize frames (where the map itself moved)
+        # need a fresh end-of-frame render.
+        need_fresh = (getattr(self.mapping, "did_optimize", True)
                       or self.mapping.model_map is None)
         if need_fresh:
             out = self.mapping.get_render_output(frame.render_inputs())

@@ -121,6 +121,7 @@ class Tracker:
                 math.cos(math.radians(args.icp_normal_threshold))),
             damping=args.icp_damping,
             fail_threshold=args.icp_fail_threshold,
+            min_valid_ratio=getattr(args, "icp_min_valid_ratio", 0.3),
         )
         self.width = width
         self.height = height
@@ -205,12 +206,14 @@ class Tracker:
                 # deferred failure check: previous frame's residual (its host
                 # copy was prefetched last frame, so the read is ~free)
                 if self._pending_p2p is not None:
-                    p_prev = float(jax.device_get(self._pending_p2p))
-                    if p_prev > self.icp_cfg.fail_threshold:
+                    p_prev, vr_prev = [
+                        float(x) for x in jax.device_get(self._pending_p2p)]
+                    if (p_prev > self.icp_cfg.fail_threshold
+                            or vr_prev < self.icp_cfg.min_valid_ratio):
                         self.icp_fail_count += 1
                         self._dump_icp_failure(frame, frame_map, p_prev,
                                                None)
-                self._pending_p2p = p2p
+                self._pending_p2p = (p2p, valid_ratio)
                 pose_dev = _compose_pose(self._pose_dev(), pose10)
                 # start async D2H mirrors now: every later host consumer
                 # (sync_pose for keyframe checks / object layer, the p2p
@@ -218,6 +221,7 @@ class Tracker:
                 # instead of paying the tunnel's fresh-readback latency
                 try:
                     p2p.copy_to_host_async()
+                    valid_ratio.copy_to_host_async()
                     pose_dev.copy_to_host_async()
                 except Exception:
                     pass
@@ -232,9 +236,11 @@ class Tracker:
                 return True
             # ONE host transfer for pose + p2p (each readback is a network
             # roundtrip when the TPU sits behind a tunnel)
-            pose10, p2p = jax.device_get((pose10, p2p))
+            pose10, p2p, valid_ratio = jax.device_get(
+                (pose10, p2p, valid_ratio))
             pose10 = np.asarray(pose10, np.float64)
-            success = bool(p2p <= self.icp_cfg.fail_threshold)
+            success = bool(p2p <= self.icp_cfg.fail_threshold
+                           and valid_ratio >= self.icp_cfg.min_valid_ratio)
             if not success:
                 self.icp_fail_count += 1
                 self._dump_icp_failure(frame, frame_map, float(p2p), pose10)

@@ -27,10 +27,21 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
 
     if os.environ.get("DQO_COMPILE_CACHE_FORCE") != "1":
         # jax_platforms is set before backend init (sitecustomize/env), so
-        # this check does not force initialization.
-        plats = (jax.config.jax_platforms or os.environ.get(
-            "JAX_PLATFORMS", ""))
-        if "axon" in str(plats):
+        # this check does not force initialization. Exact token compare —
+        # substring matching would trip on unrelated platform names
+        # (ADVICE r03).
+        plats = str(jax.config.jax_platforms
+                    or os.environ.get("JAX_PLATFORMS", "") or "")
+        if "axon" in plats.split(","):
+            # Also neutralize any cache dir injected from the environment
+            # (JAX_COMPILATION_CACHE_DIR) or set earlier in-process — a
+            # cache HIT through the axon tunnel deadlocks the client
+            # (ADVICE r03).
+            try:
+                if jax.config.jax_compilation_cache_dir:
+                    jax.config.update("jax_compilation_cache_dir", None)
+            except Exception:
+                pass
             return None
     d = cache_dir or _DEFAULT_DIR
     os.makedirs(d, exist_ok=True)

@@ -42,6 +42,17 @@ def dep(x, out):
 
 def main():
     print(f"devices: {jax.devices()}  n_alive={N_ALIVE}")
+    # PROFILE_ONLY=<substring> runs just the matching sections (each chain
+    # pays its own compiles — filtering saves many minutes on the tunnel)
+    global chain_time
+    only = os.environ.get("PROFILE_ONLY")
+    if only:
+        _ct = chain_time
+
+        def chain_time(name, *a, **k):  # noqa: F811
+            if only not in name:
+                return 0.0
+            return _ct(name, *a, **k)
     rng = np.random.default_rng(0)
 
     fx = fy = 600.0
@@ -214,6 +225,20 @@ def main():
         return (dep(q, d2),)
     chain_time("knn 16k vs bucket", knn_step, (newp,))
 
+    # --- fused knn2 (densify's one-pass coverage + scale-init search) ---
+    from dqo_map_tpu.ops.knn import knn2
+    cand = jnp.concatenate([newp, xyz_b])
+    m_unst = jnp.concatenate([jnp.zeros(16384, bool),
+                              state.status[:BUCKET] == 1])
+    m_all = jnp.concatenate([jnp.ones(16384, bool),
+                             state.status[:BUCKET] != 0])
+
+    def knn2_step(c, i):
+        (q,) = c
+        (d2u, iu), (d2a, ia) = knn2(q, cand, m_unst, m_all, k=6)
+        return (dep(q, d2a),)
+    chain_time("knn2 fused 16k vs 16k+bucket", knn2_step, (newp,))
+
     # --- error accum ---
     from dqo_map_tpu.ops.error_accum import accumulate_gaussian_error
     cerr = jnp.ones((H, W)) * 0.1
@@ -259,6 +284,53 @@ def main():
                                 valid_mask=valid_b)
         return (dep(x, tm),)
     chain_time("coverage_tile_mask", cov_step, (xyz_b,))
+
+    # --- bg local-optimize iteration (compact unstable + composite) ---
+    # the round-4 hot path: per-iter render of ONLY the unstable substate,
+    # composited over a frozen stable background (mapper.local_optimize_scan)
+    UB = 1 << 16
+    n_u = UB * 3 // 4
+    sub = gm.empty_map(UB)
+    sub = sub._replace(
+        xyz=state.xyz[:UB], scaling=state.scaling[:UB],
+        rotation=state.rotation[:UB], opacity=state.opacity[:UB],
+        sh=state.sh[:UB],
+        status=jnp.where(jnp.arange(UB) < n_u, 1, 0),
+        count=jnp.int32(n_u))
+    usettings = settings._replace(entry_cap=1 << 17)
+    from dqo_map_tpu.slam.renderer import compute_binning_state, render_state
+    ub = compute_binning_state(sub, cam, usettings, "global")
+    bg_color = jnp.zeros((H, W, 3))
+    bg_depth = jnp.full((H, W), 2.0)
+    bg_normal = jnp.zeros((H, W, 3))
+    bg_T = jnp.full((H, W), 0.1)
+    gt_c = jnp.zeros((H, W, 3))
+    gt_d = jnp.ones((H, W))
+
+    def uiter_step(c, i):
+        p = c
+
+        def loss_fn(p):
+            st = set_params_local(sub, p)
+            u = render_state(st, cam, usettings, "global", binning=ub)
+            hit = u["depth_index_map"] >= 0
+            color = u["render"] + u["T_map"][..., None] * bg_color
+            depth = jnp.where(hit, u["depth"], bg_depth)
+            nrm = jnp.where(hit[..., None], u["normal"], bg_normal)
+            return (jnp.abs(color - gt_c).mean()
+                    + jnp.abs(depth - gt_d).mean() + jnp.abs(nrm).mean())
+        g = jax.grad(loss_fn)(p)
+        newp, _ = adam_update(p, g, usub_opt, {k: 1e-3 for k in p}, u_mask)
+        return {k: dep(v, g[k]) for k, v in newp.items()}
+
+    from dqo_map_tpu.slam.mapper import get_params as gp, set_params as \
+        set_params_local_mod
+    set_params_local = set_params_local_mod
+    usub_params = gp(sub)
+    usub_opt = adam_init(usub_params)
+    u_mask = sub.status == 1
+    chain_time("bg local-opt iter (64k unstable)", uiter_step, usub_params,
+               n1=2, n2=8)
 
 
 if __name__ == "__main__":
