@@ -32,13 +32,14 @@ def main():
         print(json.dumps(per_object_main(args), indent=2))
         return
 
-    from ..eval.obj_eval import (evaluate_boxes, load_box_file,
-                                 object_center_errors)
+    from ..eval.obj_eval import (compute_ap_curve, evaluate_boxes,
+                                 load_box_file, object_center_errors)
 
     pred = load_box_file(args.pred)
     gt = load_box_file(args.gt)
     out = evaluate_boxes(pred, gt)
     out.update(object_center_errors(pred, gt))
+    out["ap_curve"] = compute_ap_curve(pred, gt)
     print(json.dumps(out, indent=2))
 
 

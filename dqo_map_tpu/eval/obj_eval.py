@@ -134,6 +134,56 @@ def evaluate_boxes(pred: List[Box3D], gt: List[Box3D],
     return out
 
 
+def compute_ap_curve(pred: List[Box3D], gt: List[Box3D],
+                     thresholds=None, scores=None) -> dict:
+    """Average-precision curve over a dense IoU-threshold sweep (the
+    reference's Objectron-style `compute_ap_curve`, eval_obj metrics pyc).
+
+    Without per-box confidences (the saved box format carries none), each
+    threshold's AP reduces to recall under greedy category-matched IoU
+    assignment — the Objectron convention for single-shot detections. When
+    `scores` (len == pred) IS given, AP at each threshold is the 11-point
+    interpolated area under the score-ranked precision/recall curve.
+    Returns {"thresholds": [...], "ap": [...], "mean_ap": float}.
+    """
+    if thresholds is None:
+        thresholds = [round(0.05 * i, 2) for i in range(1, 11)]  # .05..0.50
+    order = (np.argsort(-np.asarray(scores)) if scores is not None
+             else np.arange(len(pred)))
+    aps = []
+    for thr in thresholds:
+        used = set()
+        tp_flags = []
+        for pi in order:
+            p = pred[int(pi)]
+            best = (0.0, None)
+            for gi, g in enumerate(gt):
+                if gi in used or g.category != p.category:
+                    continue
+                iou = box_iou(p, g)
+                if iou > best[0]:
+                    best = (iou, gi)
+            hit = best[0] >= thr and best[1] is not None
+            if hit:
+                used.add(best[1])
+            tp_flags.append(hit)
+        tp = np.cumsum(np.asarray(tp_flags, np.float64))
+        n_gt = max(len(gt), 1)
+        if scores is None:
+            aps.append(float(tp[-1] / n_gt) if len(tp) else 0.0)
+        else:
+            rank = np.arange(1, len(tp) + 1)
+            prec = tp / rank
+            rec = tp / n_gt
+            ap = 0.0
+            for r in np.linspace(0, 1, 11):
+                mask = rec >= r
+                ap += (float(prec[mask].max()) if mask.any() else 0.0) / 11
+            aps.append(ap)
+    return {"thresholds": list(thresholds), "ap": aps,
+            "mean_ap": float(np.mean(aps)) if aps else 0.0}
+
+
 def object_center_errors(pred: List[Box3D], gt: List[Box3D]) -> dict:
     errs = []
     for p in pred:

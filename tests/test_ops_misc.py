@@ -110,3 +110,24 @@ def test_update_geometry_scales(rng):
     assert np.asarray(keep).all()
     np.testing.assert_allclose(np.exp(ls[:, 0]), 0.05, atol=1e-6)  # clipped
     np.testing.assert_allclose(np.exp(ls[:, 2]), 0.005, atol=1e-6)  # z factor
+
+
+def test_ap_curve():
+    from dqo_map_tpu.eval.obj_eval import Box3D, compute_ap_curve
+    gt = [Box3D(1, [0, 0, 0], [0, 0, 0, 1], [0.5, 0.5, 0.5]),
+          Box3D(2, [2, 0, 0], [0, 0, 0, 1], [0.5, 0.5, 0.5])]
+    # one perfect, one off-center (moderate IoU), one false positive
+    pred = [Box3D(1, [0, 0, 0], [0, 0, 0, 1], [0.5, 0.5, 0.5]),
+            Box3D(2, [2.4, 0, 0], [0, 0, 0, 1], [0.5, 0.5, 0.5]),
+            Box3D(3, [9, 9, 9], [0, 0, 0, 1], [0.5, 0.5, 0.5])]
+    c = compute_ap_curve(pred, gt)
+    assert len(c["ap"]) == len(c["thresholds"]) == 10
+    # monotone non-increasing in threshold, 1.0 at the loosest only if both
+    # matched, exactly 0.5 at the strictest (only the perfect box survives)
+    assert all(a >= b - 1e-9 for a, b in zip(c["ap"], c["ap"][1:]))
+    assert c["ap"][0] == 1.0
+    assert c["ap"][-1] == 0.5
+    assert 0.5 <= c["mean_ap"] <= 1.0
+    # score-ranked variant: PR-AUC form, same perfect-match endpoint
+    cs = compute_ap_curve(pred, gt, scores=[0.9, 0.8, 0.99])
+    assert 0.0 < cs["mean_ap"] <= 1.0

@@ -160,3 +160,29 @@ def test_viewer_render_and_http(tmp_path):
         f"http://localhost:{port}/render?yaw=0&pitch=0&x=0&y=0&z=0&mode=color",
         timeout=60).read()
     assert jpg[:2] == b"\xff\xd8"    # JPEG magic
+
+
+def test_viewer_overlay_draws():
+    """Ellipsoid + frustum wireframes land inside the image and only there
+    (VERDICT r03 Missing #5)."""
+    import numpy as np
+    from dqo_map_tpu.cli.viewer import ViewerState
+    from dqo_map_tpu.models.cameras import Camera
+
+    class _V(ViewerState):
+        def __init__(self):  # skip renderer construction
+            self.width, self.height = 160, 120
+            self.fx = 0.9 * 160
+            self.objects = [{"t": np.array([0, 0, 2.0]), "R": np.eye(3),
+                             "axes": np.array([0.3, 0.2, 0.25])}]
+            self.frusta = [np.eye(4)]
+
+    v = _V()
+    cam = Camera(uid=0, c2w=np.eye(4), fx=v.fx, fy=v.fx, cx=80, cy=60,
+                 width=160, height=120)
+    img = np.zeros((120, 160, 3), np.uint8)
+    v.draw_overlays(img, cam)
+    assert (img > 0).any(), "no overlay pixels drawn"
+    ys, xs = np.nonzero(img.sum(-1))
+    # the ellipsoid at z=2 projects around the principal point
+    assert xs.min() > 20 and xs.max() < 140 and ys.min() > 5
