@@ -65,12 +65,13 @@ def main():
 
     cfg = default_config(
         type="Synthetic", save_path="/tmp/bench_out", use_object=True,
-        # icp_use_model_depth matches the benched reference configuration
-        # (/root/reference/configs/replica_base.yaml:27) and anchors ICP to
-        # the fused map depth instead of frame-to-frame chaining (r03's ATE
-        # drift came from accumulating ~5e-4 relative error per frame)
+        # icp_use_model_depth defaults OFF (reference base.yaml:93): the
+        # r04 A/B series (BENCH_r04 tries 2-7) showed the fused-model-depth
+        # ICP reference consistently degrades PSNR 27->18 and ATE
+        # 0.55->4cm on this workload — our hit-plane depth render needs
+        # work before it can serve as the ICP reference
         use_gt_pose=False,
-        icp_use_model_depth=os.environ.get("BENCH_ICP_MODEL", "1") == "1",
+        icp_use_model_depth=os.environ.get("BENCH_ICP_MODEL", "0") == "1",
         local_opt_mode=os.environ.get("BENCH_LOCAL_MODE", "bg"),
         capacity=1 << 19, add_capacity=16384, initial_bucket=bucket,
         # ladder plateaus for this workload — pinned so no rung moves (=

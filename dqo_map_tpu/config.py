@@ -198,7 +198,12 @@ class TrackingParams:
     """ICP / pose-backend knobs (ref `configs/base.yaml:91-112`)."""
 
     use_gt_pose: bool = False
-    icp_use_model_depth: bool = True
+    # reference base.yaml default (base.yaml:93). NOTE: A/B bench runs with
+    # the fused-model-depth ICP reference showed consistent PSNR/ATE
+    # degradation on the synthetic bench (receipts in BENCH_r04 series);
+    # our hit-plane depth renders need investigation before enabling it by
+    # default on real sequences.
+    icp_use_model_depth: bool = False
     icp_downscales: List[float] = field(default_factory=lambda: [0.25, 0.5, 1.0])
     icp_downscale_iters: List[int] = field(default_factory=lambda: [5, 5, 5])
     icp_damping: float = 1e-4

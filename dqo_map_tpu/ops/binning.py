@@ -53,6 +53,10 @@ class Binning(NamedTuple):
     tile_offsets: jnp.ndarray  # (T+1,) int32, ALIGNED starts into point_list
     block_tile: jnp.ndarray    # (entry_cap/align,) int32 tile per block (-1 unused)
     num_entries: jnp.ndarray   # () int32 valid entries kept
+    demand: jnp.ndarray        # () int32 UNCLIPPED aligned layout size
+                               #    (valid entries + per-tile CHUNK padding)
+                               #    — the exact entry_cap the ladder must
+                               #    cover to avoid budget drops
     num_blocks: jnp.ndarray    # () int32 align-sized blocks actually used
     dropped: jnp.ndarray       # () int32 GLOBAL entry-budget losses — the
                                #    entry-cap ladder's signal; must stay 0
@@ -216,6 +220,7 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int, tile_size: int,
         masked_on = tile_mask.reshape(-1).astype(bool)
         kept_counts = jnp.where(masked_on, kept_counts, 0)
     padded = ((kept_counts + align - 1) // align) * align
+    demand = jnp.sum(padded, dtype=jnp.int32)
     poffs = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
     )
@@ -257,6 +262,7 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int, tile_size: int,
     return Binning(
         point_list=point_list, entry_tile=entry_tile, entry_valid=valid,
         tile_offsets=poffs, block_tile=block_tile,
-        num_entries=num_entries, num_blocks=poffs[num_tiles] // align,
+        num_entries=num_entries, demand=demand,
+        num_blocks=poffs[num_tiles] // align,
         dropped=dropped, tile_dropped=tile_dropped, clipped=clipped,
     )

@@ -51,6 +51,7 @@ class PixelState(NamedTuple):
     hit_depth: jnp.ndarray     # (n,)
     hit_depth_weight: jnp.ndarray  # (n,)
     hit_normal: jnp.ndarray    # (n,3) camera-frame normal of the hit entry
+    crossed: jnp.ndarray       # (n,) bool — background surface passed
 
 
 def init_pixel_state(n: int, dtype=jnp.float32) -> PixelState:
@@ -66,17 +67,28 @@ def init_pixel_state(n: int, dtype=jnp.float32) -> PixelState:
         hit_depth=jnp.zeros((n,), dtype),
         hit_depth_weight=jnp.zeros((n,), dtype),
         hit_normal=jnp.zeros((n, 3), dtype),
+        crossed=jnp.zeros((n,), bool),
     )
 
 
 def blend_chunk(state: PixelState, feats: dict, pix_xy: jnp.ndarray,
-                ray: jnp.ndarray, params: BlendParams):
+                ray: jnp.ndarray, params: BlendParams, bg_surface=None):
     """Blend one chunk of K depth-sorted entries over n pixels.
 
     feats: xy(K,2) conic(K,3) opacity(K,) color(K,3) depth(K,) mean_c(K,3)
            normal_c(K,3) scale_max(K,) gauss_id(K,)int32 valid(K,)bool
     pix_xy: (n,2) float pixel coords; ray: (n,3) unit rays (camera frame).
     Returns (new_state, n_touched_chunk (K,) int32).
+
+    `bg_surface` (optional) composites a frozen per-pixel BACKGROUND
+    SURFACE at its true depth: {"S": (n,3) premultiplied splat color,
+    "D": (n,) surface depth, "tau": (n,) transmittance}. Equivalent to
+    inserting one virtual entry of alpha 1-tau and color S/(1-tau) at
+    depth D into the sorted stream: entries in front blend normally, the
+    surface contributes S * T(front), entries behind are attenuated by
+    tau. This is the depth-aware stable-background model of the compact
+    local optimize (an all-in-front composite misorders occlusion and
+    measured ~2 dB worse).
     """
     K = feats["xy"].shape[0]
     dx = feats["xy"][:, 0:1] - pix_xy[None, :, 0]          # (K,n)
@@ -101,8 +113,30 @@ def blend_chunk(state: PixelState, feats: dict, pix_xy: jnp.ndarray,
     contrib = (~skip) & (test_T >= params.T_threshold)
     w = jnp.where(contrib, alpha * T_prev, 0.0)                 # (K,n)
 
-    color = state.color + jnp.einsum("kn,kc->nc", w, feats["color"],
-                                     precision=jax.lax.Precision.HIGHEST)
+    crossed = state.crossed
+    if bg_surface is not None:
+        behind = (feats["depth"][:, None] > bg_surface["D"][None, :]) \
+            & feats["valid"][:, None]                           # (K,n)
+        tau_b = bg_surface["tau"][None, :]
+        # behind-surface entries see the TRUE transmittance test_T*tau —
+        # the global render's early termination cuts them there
+        w = jnp.where(behind & (test_T * tau_b < params.T_threshold),
+                      0.0, w * jnp.where(behind, tau_b, 1.0))
+        # T over the FRONT entries only (behind entries excluded; invalid
+        # lanes carry alpha 0 and are harmless either way)
+        T_front = jnp.exp(state.logT
+                          + jnp.sum(jnp.where(behind, 0.0, log1m), axis=0))
+        has_behind = jnp.any(behind, axis=0)
+        new_cross = (~crossed) & has_behind
+        surface = jnp.where(new_cross[:, None],
+                            bg_surface["S"] * T_front[:, None], 0.0)
+        crossed = crossed | has_behind
+    else:
+        surface = 0.0
+
+    color = state.color + surface + jnp.einsum(
+        "kn,kc->nc", w, feats["color"],
+        precision=jax.lax.Precision.HIGHEST)
     weight_sum = state.weight_sum + w.sum(axis=0)
 
     # max-color-weight contributor (strict >, so earliest max wins)
@@ -158,7 +192,7 @@ def blend_chunk(state: PixelState, feats: dict, pix_xy: jnp.ndarray,
         color=color, weight_sum=weight_sum, end_T=end_T,
         best_w=best_w, best_id=best_id, hit_found=hit_found, hit_id=hit_id,
         hit_depth=hit_depth, hit_depth_weight=hit_depth_weight,
-        hit_normal=hit_normal,
+        hit_normal=hit_normal, crossed=crossed,
     )
     return new_state, n_touched
 
@@ -184,7 +218,8 @@ def gather_entry_feats(point_list, valid_entries, xy, conic, opacity, color,
 def blend_tiles_ref(feats: dict, entry_tile: jnp.ndarray, num_tiles: int,
                     tile_size: int, width: int, height: int, K: jnp.ndarray,
                     params: BlendParams, bg: jnp.ndarray,
-                    tile_offsets: jnp.ndarray = None, window: int = None):
+                    tile_offsets: jnp.ndarray = None, window: int = None,
+                    bg_surface_maps: dict = None):
     """Pure-JAX tile loop (reference/CPU path; the TPU fast path is the
     Pallas kernel).
 
@@ -234,12 +269,28 @@ def blend_tiles_ref(feats: dict, entry_tile: jnp.ndarray, num_tiles: int,
             et = entry_tile
         tile_feats["valid"] = tile_feats["valid"] & (et == t)
         state = init_pixel_state(n)
-        state, n_touched = blend_chunk(state, tile_feats, pix_xy, ray, params)
+        bg_sf = None
+        if bg_surface_maps is not None:
+            pyc = jnp.clip(py, 0, height - 1)
+            pxc = jnp.clip(px, 0, width - 1)
+            bg_sf = {
+                "S": bg_surface_maps["S"][pyc, pxc],
+                "D": bg_surface_maps["D"][pyc, pxc],
+                "tau": bg_surface_maps["tau"][pyc, pxc],
+            }
+        state, n_touched = blend_chunk(state, tile_feats, pix_xy, ray,
+                                       params, bg_surface=bg_sf)
+        T_fin = jnp.exp(state.logT)
         out_color = state.color + state.end_T[:, None] * bg[None, :]
+        if bg_sf is not None:
+            # surface never crossed inside the entry stream: it sits behind
+            # everything — composite it at the end with the final T
+            out_color = out_color + jnp.where(
+                state.crossed[:, None], 0.0, bg_sf["S"] * T_fin[:, None])
         return (
             out_color, state.hit_depth, state.hit_id, state.best_id,
             state.best_w, state.hit_depth_weight, state.end_T,
-            state.weight_sum, state.hit_normal,
+            state.weight_sum, state.hit_normal, T_fin,
         ), (n_touched, start)
 
     outs, (n_touched_tiles, starts) = jax.lax.map(
@@ -259,7 +310,8 @@ def blend_tiles_ref(feats: dict, entry_tile: jnp.ndarray, num_tiles: int,
         )
         return x[:height, :width]
 
-    color, depth, hit_id, best_id, best_w, hdw, end_T, wsum, hnorm = outs
+    (color, depth, hit_id, best_id, best_w, hdw, end_T, wsum, hnorm,
+     t_fin) = outs
     return {
         "render": untile(color, 3),
         "depth": untile(depth),
@@ -269,6 +321,7 @@ def blend_tiles_ref(feats: dict, entry_tile: jnp.ndarray, num_tiles: int,
         "depth_hit_weight": untile(hdw),
         "T_map": untile(end_T),
         "weight_sum": untile(wsum),
+        "T_final": untile(t_fin),
         "normal_c": untile(hnorm, 3),
         "n_touched_entries": n_touched,
     }

@@ -141,16 +141,22 @@ def _alpha_w(f, px, py, T_carry, T_threshold):
 
 # state scratch columns (fwd)
 (S_T, S_C0, S_C1, S_C2, S_WSUM, S_ENDT, S_BESTW, S_BESTID, S_HIT,
- S_HITID, S_HITD, S_HITDW, S_HITN0, S_HITN1, S_HITN2) = range(15)
+ S_HITID, S_HITD, S_HITDW, S_HITN0, S_HITN1, S_HITN2, S_CROSS) = range(16)
 NS = 16
+NB = 8               # per-pixel background-surface channels: S rgb, D, tau
 
 
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(block_tile_ref, scal_ref, f_ref, color_ref, aux_ref, nt_ref,
-                state, *, tw, tile_size, params: BlendParams, bg):
+def _fwd_kernel(block_tile_ref, scal_ref, f_ref, *rest, tw, tile_size,
+                params: BlendParams, bg, with_bg=False):
+    if with_bg:
+        bgt_ref, color_ref, aux_ref, nt_ref, state = rest
+    else:
+        bgt_ref = None
+        color_ref, aux_ref, nt_ref, state = rest
     bidx = pl.program_id(0)
     t = block_tile_ref[bidx]
     n_px = tile_size * tile_size
@@ -185,6 +191,27 @@ def _fwd_kernel(block_tile_ref, scal_ref, f_ref, color_ref, aux_ref, nt_ref,
         T_carry = state[:, S_T:S_T + 1]
         a = _alpha_w(f, px, py, T_carry, params.T_threshold)
         w, test_T, contrib = a["w"], a["test_T"], a["contrib"]
+        if with_bg:
+            # one-surface background model: entries behind the surface are
+            # attenuated by tau; the surface color S lands once, scaled by
+            # the transmittance over the FRONT entries (see blend.py)
+            bgD = bgt_ref[0, :, 3:4]
+            tau = bgt_ref[0, :, 4:5]
+            behind = (f[9:10, :] > bgD) & (f[5:6, :] != 0.0)
+            # behind entries: attenuate by tau AND terminate at the TRUE
+            # transmittance test_T*tau (global-render early-exit parity)
+            w = jnp.where(behind & (test_T * tau < params.T_threshold),
+                          0.0, w * jnp.where(behind, tau, 1.0))
+            within_front = _cumprod_lanes(
+                jnp.where(behind, 1.0, a["one_m"]))
+            T_front = T_carry * within_front[:, CHUNK - 1:CHUNK]
+            has_behind = jnp.max(behind.astype(jnp.float32), axis=1,
+                                 keepdims=True)
+            crossed0 = state[:, S_CROSS:S_CROSS + 1]
+            new_cross = (crossed0 < 0.5) & (has_behind > 0.5)
+            state[:, S_C0:S_C2 + 1] = state[:, S_C0:S_C2 + 1] + jnp.where(
+                new_cross, bgt_ref[0, :, 0:3] * T_front, 0.0)
+            state[:, S_CROSS:S_CROSS + 1] = jnp.maximum(crossed0, has_behind)
 
         # per-entry touched-pixel count (ref forward.cu n_touched++; used by
         # the reference's USE_PURNE pruning): contributing with test_T > 0.5.
@@ -285,8 +312,14 @@ def _fwd_kernel(block_tile_ref, scal_ref, f_ref, color_ref, aux_ref, nt_ref,
         end_T = state[:, S_ENDT:S_ENDT + 1]
         # color channels 0:3 + differentiable hit depth (3) + hit normal
         # (4:7, routed to the hit entry in the bwd kernel) + pad
-        color_ref[0, :, 0:3] = state[:, S_C0:S_C2 + 1] + jnp.concatenate(
+        out_c = state[:, S_C0:S_C2 + 1] + jnp.concatenate(
             [end_T * bg[0], end_T * bg[1], end_T * bg[2]], axis=1)
+        if with_bg:
+            # surface behind every entry of this tile: composite at the end
+            out_c = out_c + jnp.where(
+                state[:, S_CROSS:S_CROSS + 1] < 0.5,
+                bgt_ref[0, :, 0:3] * state[:, S_T:S_T + 1], 0.0)
+        color_ref[0, :, 0:3] = out_c
         color_ref[0, :, 3:4] = state[:, S_HITD:S_HITD + 1]
         color_ref[0, :, 4:7] = state[:, S_HITN0:S_HITN2 + 1]
         color_ref[0, :, 7:8] = jnp.zeros((n_px, 1), jnp.float32)
@@ -304,8 +337,13 @@ def _fwd_kernel(block_tile_ref, scal_ref, f_ref, color_ref, aux_ref, nt_ref,
 # backward kernel (forward chunk order; suffix = total - prefix)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(block_tile_ref, scal_ref, f_ref, dpix_ref, color_ref, aux_ref,
-                dent_ref, sstate, *, tw, tile_size, params: BlendParams, bg):
+def _bwd_kernel(block_tile_ref, scal_ref, f_ref, *rest, tw, tile_size,
+                params: BlendParams, bg, with_bg=False):
+    if with_bg:
+        bgt_ref, dpix_ref, color_ref, aux_ref, dent_ref, sstate = rest
+    else:
+        bgt_ref = None
+        dpix_ref, color_ref, aux_ref, dent_ref, sstate = rest
     bidx = pl.program_id(0)
     t = block_tile_ref[bidx]
     n_px = tile_size * tile_size
@@ -316,8 +354,9 @@ def _bwd_kernel(block_tile_ref, scal_ref, f_ref, dpix_ref, color_ref, aux_ref,
 
     @pl.when(is_first & active)
     def _init():
+        # col0 = T prefix, col1 = dot-prefix carry, col2 = crossed flag
         cols = jax.lax.broadcasted_iota(jnp.int32, (n_px, 8), 1)
-        sstate[:, :] = jnp.where(cols == 0, 1.0, 0.0)   # col0 = T prefix
+        sstate[:, :] = jnp.where(cols == 0, 1.0, 0.0)
 
     saturated = jnp.max(sstate[:, 0:1]) < params.T_threshold
 
@@ -388,13 +427,38 @@ def _bwd_kernel(block_tile_ref, scal_ref, f_ref, dpix_ref, color_ref, aux_ref,
 
         # cd = sum_c dpix_c * color_c per (pixel, entry)
         cd = f[6:7, :] * d0 + f[7:8, :] * d1 + f[8:9, :] * d2
+        if with_bg:
+            # one-surface background (see fwd): per-entry tau factor for
+            # behind entries; the surface's own dot term enters the running
+            # prefix at the crossing so front/behind suffixes split exactly
+            bgD = bgt_ref[0, :, 3:4]
+            tau = bgt_ref[0, :, 4:5]
+            behind = (f[9:10, :] > bgD) & (f[5:6, :] != 0.0)
+            cut = behind & (a["test_T"] * tau < params.T_threshold)
+            tfac = jnp.where(cut, 0.0, jnp.where(behind, tau, 1.0))
+            w = w * tfac
+            within_front = _cumprod_lanes(
+                jnp.where(behind, 1.0, a["one_m"]))
+            T_front = T_carry * within_front[:, CHUNK - 1:CHUNK]
+            sdot = (bgt_ref[0, :, 0:1] * d0 + bgt_ref[0, :, 1:2] * d1
+                    + bgt_ref[0, :, 2:3] * d2) * T_front
+            has_behind = jnp.max(behind.astype(jnp.float32), axis=1,
+                                 keepdims=True)
+            crossed0 = sstate[:, 2:3]
+            new_cross = ((crossed0 < 0.5) & (has_behind > 0.5)).astype(
+                jnp.float32)
+            surf_add = jnp.where(behind, new_cross * sdot, 0.0)
+        else:
+            tfac = 1.0
+            new_cross = None
+            surf_add = 0.0
         wcd = w * cd
-        prefix_incl = sstate[:, 1:2] + _cumsum_lanes(wcd)
+        prefix_incl = sstate[:, 1:2] + _cumsum_lanes(wcd) + surf_add
         suffix_dot = dot_total - prefix_incl       # sum_{j>k} w_j (c_j . d)
 
         inv1m = 1.0 / a["one_m"]
         dL_dalpha = (
-            cd * T_prev - suffix_dot * inv1m - end_T * inv1m * bgdot
+            cd * T_prev * tfac - suffix_dot * inv1m - end_T * inv1m * bgdot
         )
         dL_dalpha = jnp.where(contrib, dL_dalpha, 0.0)
 
@@ -417,7 +481,15 @@ def _bwd_kernel(block_tile_ref, scal_ref, f_ref, dpix_ref, color_ref, aux_ref,
         dent_ref[8:9, :] = jnp.sum(w * d2, axis=0, keepdims=True)
 
         sstate[:, 0:1] = a["T_next"]
-        sstate[:, 1:2] = prefix_incl[:, CHUNK - 1:CHUNK]
+        if with_bg:
+            # carry: cumulative dot prefix incl. the surface term exactly
+            # once after the crossing; crossed flag persists
+            sstate[:, 1:2] = (sstate[:, 1:2]
+                              + _cumsum_lanes(wcd)[:, CHUNK - 1:CHUNK]
+                              + new_cross * sdot)
+            sstate[:, 2:3] = jnp.maximum(sstate[:, 2:3], has_behind)
+        else:
+            sstate[:, 1:2] = prefix_incl[:, CHUNK - 1:CHUNK]
 
 
 # ---------------------------------------------------------------------------
@@ -431,8 +503,8 @@ def _grid_arg(nb, n_blocks_static):
     return jnp.maximum(nb, 1)
 
 
-def _fwd_call(feats, block_tile, nb, scal, num_tiles, tile_size, tw, params,
-              bg):
+def _fwd_call(feats, block_tile, nb, scal, bgt, num_tiles, tile_size, tw,
+              params, bg, with_bg):
     """Grid is 1-D over the `nb` USED entry blocks (traced — the static
     entry_cap tail is never visited); per-block tile ownership arrives via
     the scalar-prefetched `block_tile` array (sentinel -1 for unused blocks,
@@ -445,13 +517,19 @@ def _fwd_call(feats, block_tile, nb, scal, num_tiles, tile_size, tw, params,
         t = bt[b]
         return (jnp.where(t >= 0, t, num_tiles), 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((NF, CHUNK), lambda b, *_: (0, b),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [feats]
+    if with_bg:
+        in_specs.append(pl.BlockSpec((1, n_px, NB), out_index,
+                                     memory_space=pltpu.VMEM))
+        operands.append(bgt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(_grid_arg(nb, n_blocks),),
-        in_specs=[
-            pl.BlockSpec((NF, CHUNK), lambda b, *_: (0, b),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, n_px, NC), out_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_px, NA), out_index, memory_space=pltpu.VMEM),
@@ -461,7 +539,8 @@ def _fwd_call(feats, block_tile, nb, scal, num_tiles, tile_size, tw, params,
         scratch_shapes=[pltpu.VMEM((n_px, NS), jnp.float32)],
     )
     kernel = functools.partial(
-        _fwd_kernel, tw=tw, tile_size=tile_size, params=params, bg=bg)
+        _fwd_kernel, tw=tw, tile_size=tile_size, params=params, bg=bg,
+        with_bg=with_bg)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -471,26 +550,26 @@ def _fwd_call(feats, block_tile, nb, scal, num_tiles, tile_size, tw, params,
             jax.ShapeDtypeStruct((1, feats.shape[1]), jnp.float32),
         ],
         interpret=_interpret(),
-    )(block_tile, scal, feats)
+    )(block_tile, scal, *operands)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _blend_core(feats, block_tile, nb, scal, num_tiles, tile_size, tw,
-                params, bg):
-    color, aux, nt = _fwd_call(feats, block_tile, nb, scal, num_tiles,
-                               tile_size, tw, params, bg)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _blend_core(feats, block_tile, nb, scal, bgt, num_tiles, tile_size, tw,
+                params, bg, with_bg):
+    color, aux, nt = _fwd_call(feats, block_tile, nb, scal, bgt, num_tiles,
+                               tile_size, tw, params, bg, with_bg)
     return color, aux, nt
 
 
-def _blend_core_fwd(feats, block_tile, nb, scal, num_tiles, tile_size, tw,
-                    params, bg):
-    color, aux, nt = _fwd_call(feats, block_tile, nb, scal, num_tiles,
-                               tile_size, tw, params, bg)
-    return (color, aux, nt), (feats, block_tile, nb, scal, color, aux)
+def _blend_core_fwd(feats, block_tile, nb, scal, bgt, num_tiles, tile_size,
+                    tw, params, bg, with_bg):
+    color, aux, nt = _fwd_call(feats, block_tile, nb, scal, bgt, num_tiles,
+                               tile_size, tw, params, bg, with_bg)
+    return (color, aux, nt), (feats, block_tile, nb, scal, bgt, color, aux)
 
 
-def _blend_core_bwd(num_tiles, tile_size, tw, params, bg, res, cts):
-    feats, block_tile, nb, scal, color, aux = res
+def _blend_core_bwd(num_tiles, tile_size, tw, params, bg, with_bg, res, cts):
+    feats, block_tile, nb, scal, bgt, color, aux = res
     dcolor, _daux, _dnt = cts
     n_px = tile_size * tile_size
     Lp = feats.shape[1]
@@ -500,16 +579,24 @@ def _blend_core_bwd(num_tiles, tile_size, tw, params, bg, res, cts):
         t = bt[b]
         return (jnp.where(t >= 0, t, num_tiles), 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((NF, CHUNK), lambda b, *_: (0, b),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [feats]
+    if with_bg:
+        in_specs.append(pl.BlockSpec((1, n_px, NB), px_index,
+                                     memory_space=pltpu.VMEM))
+        operands.append(bgt)
+    in_specs += [
+        pl.BlockSpec((1, n_px, NC), px_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_px, NC), px_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_px, NA), px_index, memory_space=pltpu.VMEM),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(_grid_arg(nb, n_blocks),),
-        in_specs=[
-            pl.BlockSpec((NF, CHUNK), lambda b, *_: (0, b),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_px, NC), px_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_px, NC), px_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_px, NA), px_index, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((NG, CHUNK), lambda b, *_: (0, b),
                          memory_space=pltpu.VMEM),
@@ -517,19 +604,20 @@ def _blend_core_bwd(num_tiles, tile_size, tw, params, bg, res, cts):
         scratch_shapes=[pltpu.VMEM((n_px, 8), jnp.float32)],
     )
     kernel = functools.partial(
-        _bwd_kernel, tw=tw, tile_size=tile_size, params=params, bg=bg)
+        _bwd_kernel, tw=tw, tile_size=tile_size, params=params, bg=bg,
+        with_bg=with_bg)
     dent = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((NG, Lp), jnp.float32)],
         interpret=_interpret(),
-    )(block_tile, scal, feats, dcolor, color, aux)[0]
+    )(block_tile, scal, *operands, dcolor, color, aux)[0]
 
     valid = feats[5:6, :] != 0.0            # opacity lane doubles as valid
     dfeats = jnp.where(valid, dent, 0.0)    # rows align with feature rows
     d_bt = np.zeros(block_tile.shape, jdtypes.float0)
     d_nb = np.zeros((), jdtypes.float0)
-    return dfeats, d_bt, d_nb, jnp.zeros_like(scal)
+    return dfeats, d_bt, d_nb, jnp.zeros_like(scal), jnp.zeros_like(bgt)
 
 
 _blend_core.defvjp(_blend_core_fwd, _blend_core_bwd)
@@ -563,10 +651,32 @@ def pack_entries(pre, b, colors, opacities):
         axis=0)
 
 
+def tile_px_maps(maps: list, tile_size: int, width: int, height: int,
+                 num_tiles: int):
+    """Stack (H,W[,C]) maps into the kernels' (num_tiles+1, n_px, NB) layout
+    (channel-padded to NB; +1 sentinel tile for inactive blocks)."""
+    TH = (height + tile_size - 1) // tile_size
+    TW = (width + tile_size - 1) // tile_size
+    cat = jnp.concatenate(
+        [m[..., None] if m.ndim == 2 else m for m in maps], axis=-1)
+    C = cat.shape[-1]
+    pad_h = TH * tile_size - height
+    pad_w = TW * tile_size - width
+    cat = jnp.pad(cat, ((0, pad_h), (0, pad_w), (0, NB - C)))
+    cat = cat.reshape(TH, tile_size, TW, tile_size, NB)
+    cat = jnp.moveaxis(cat, 2, 1).reshape(num_tiles,
+                                          tile_size * tile_size, NB)
+    return jnp.concatenate(
+        [cat, jnp.zeros((1, tile_size * tile_size, NB), cat.dtype)], axis=0)
+
+
 def blend_tiles_pallas(pre, b, entry_valid, colors, opacities, num_tiles,
                        tile_size, width, height, K, params: BlendParams, bg,
-                       max_chunks: int = 32):
-    """Drop-in twin of `blend.blend_tiles_ref` backed by the Pallas kernels."""
+                       max_chunks: int = 32, bg_tiled=None):
+    """Drop-in twin of `blend.blend_tiles_ref` backed by the Pallas kernels.
+
+    `bg_tiled` ((num_tiles+1, n_px, NB), from `tile_px_maps([S, D, tau])`)
+    enables the one-surface background composite (see blend.py)."""
     TH = (height + tile_size - 1) // tile_size
     TW = (width + tile_size - 1) // tile_size
 
@@ -574,9 +684,12 @@ def blend_tiles_pallas(pre, b, entry_valid, colors, opacities, num_tiles,
     block_tile = b.block_tile
     scal = jnp.stack([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]).astype(jnp.float32)
     bg_static = tuple(float(x) for x in np.asarray(bg).tolist())
+    with_bg = bg_tiled is not None
+    bgt = (jax.lax.stop_gradient(bg_tiled) if with_bg
+           else jnp.zeros((1, 1, NB), jnp.float32))
     color, aux, nt = _blend_core(
-        feats, block_tile, b.num_blocks, scal, num_tiles, tile_size, TW,
-        params, bg_static,
+        feats, block_tile, b.num_blocks, scal, bgt, num_tiles, tile_size, TW,
+        params, bg_static, with_bg,
     )
     color = color[:num_tiles]
     aux = aux[:num_tiles]
@@ -586,6 +699,10 @@ def blend_tiles_pallas(pre, b, entry_valid, colors, opacities, num_tiles,
     empty = (b.tile_offsets[1:] == b.tile_offsets[:-1])[:, None, None]
     bgv = jnp.asarray(bg_static + (0.0,) * (NC - 3), jnp.float32)
     color = jnp.where(empty, bgv[None, None, :], color)
+    if with_bg:
+        # empty tiles show the bare background surface (T == 1)
+        color = color.at[:, :, 0:3].set(jnp.where(
+            empty, bgt[:num_tiles, :, 0:3], color[:, :, 0:3]))
     aux_init = jnp.asarray([-1.0, -1.0, 0.0, 0.0, 1.0, 0.0, 1.0, 0.0],
                            jnp.float32)
     aux = jnp.where(empty, aux_init[None, None, :], aux)
@@ -608,5 +725,6 @@ def blend_tiles_pallas(pre, b, entry_valid, colors, opacities, num_tiles,
         "depth_hit_weight": untile(aux[:, :, 3]),
         "T_map": untile(aux[:, :, 4]),
         "weight_sum": untile(aux[:, :, 5]),
+        "T_final": untile(aux[:, :, 6]),
         "n_touched_entries": nt[0].astype(jnp.int32),
     }

@@ -206,7 +206,7 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
               valid_mask: Optional[jnp.ndarray] = None,
               with_normal: bool = True,
               with_n_touched: bool = True,
-              binning=None) -> dict:
+              binning=None, bg_maps: Optional[dict] = None) -> dict:
     """Render a view.
 
     means3d (P,3); scales (P,3) ACTIVATED (exp applied); rots (P,4) normalized
@@ -253,11 +253,16 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
 
     impl = _resolve_impl(settings.impl)
     if impl == "pallas":
-        from .blend_pallas import blend_tiles_pallas
+        from .blend_pallas import blend_tiles_pallas, tile_px_maps
+        bg_tiled = None
+        if bg_maps is not None:
+            bg_tiled = tile_px_maps(
+                [bg_maps["S"], bg_maps["D"], bg_maps["tau"]],
+                settings.tile_size, W, H, num_tiles)
         out = blend_tiles_pallas(
             pre, b, entry_valid, colors, opacities, num_tiles,
             settings.tile_size, W, H, cam["K"], params, settings.bg,
-            max_chunks=max_chunks,
+            max_chunks=max_chunks, bg_tiled=bg_tiled,
         )
     else:
         from .blend_pallas import CHUNK
@@ -265,10 +270,15 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
             b.point_list, entry_valid, pre.xy, pre.conic, opacities, colors,
             pre.depth, pre.mean_c, pre.normal_c, pre.scale_max,
         )
+        bg_sf = None
+        if bg_maps is not None:
+            bg_sf = {k: jax.lax.stop_gradient(bg_maps[k])
+                     for k in ("S", "D", "tau")}
         out = blend_tiles_ref(
             feats, b.entry_tile, num_tiles, settings.tile_size, W, H,
             cam["K"], params, bg,
             tile_offsets=b.tile_offsets, window=CHUNK * max_chunks,
+            bg_surface_maps=bg_sf,
         )
 
     # n_touched per gaussian (segment sum over entries) — the scatter-add is
@@ -301,6 +311,7 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
 
     out["dropped_entries"] = b.dropped
     out["tile_dropped"] = b.tile_dropped
+    out["entry_demand"] = b.demand
     out["clipped_cells"] = b.clipped
     out["num_entries"] = b.num_entries
     return out

@@ -309,6 +309,8 @@ def _optimize_scan(state: MapState, frames: dict, rand_idx: jnp.ndarray,
         jnp.max(binnings.clipped), (iters,))
     reports["num_entries"] = jnp.broadcast_to(
         jnp.max(binnings.num_entries), (iters,))
+    reports["entry_demand"] = jnp.broadcast_to(
+        jnp.max(binnings.demand), (iters,))
     return state, reports
 
 
@@ -398,6 +400,7 @@ def _compact_optimize_scan(state: MapState, row_mask: jnp.ndarray,
                 "normal": jax.lax.stop_gradient(bg["normal"]),
                 "depth_index_map": bg["depth_index_map"],
                 "T_map": jax.lax.stop_gradient(bg["T_map"]),
+                "T_final": jax.lax.stop_gradient(bg["T_final"]),
             })
             if with_semantics:
                 bg_sem_list.append(jax.lax.stop_gradient(render_color_pass(
@@ -444,18 +447,34 @@ def _compact_optimize_scan(state: MapState, row_mask: jnp.ndarray,
 
         def loss_fn(p):
             st = set_params(sub, p)
-            u = render_state(st, cam, usettings, "global", binning=binning)
+            # surface depth: the bg hit depth; pixels where the stable
+            # content never produced an opaque hit take D=inf (surface
+            # composites behind everything — no front entry is attenuated)
+            bgm = ({"S": bg["render"],
+                    "D": jnp.where(bg["depth_index_map"] >= 0, bg["depth"],
+                                   jnp.float32(1e30)),
+                    "tau": bg["T_final"]}
+                   if use_bg else None)
+            u = render_state(st, cam, usettings, "global", binning=binning,
+                            bg_maps=bgm)
             T_u = u["T_map"]
             if use_bg:
+                # color already carries the one-surface background composite
+                # (in-blend, depth-ordered); hit maps compose by DEPTH — the
+                # nearer of the unstable and stable hit wins, like the
+                # global render's first-opaque-in-depth-order rule
                 hit_u = u["depth_index_map"] >= 0
+                hit_bg = bg["depth_index_map"] >= 0
+                u_wins = hit_u & ((~hit_bg) | (u["depth"] <= bg["depth"]))
                 out = {
-                    "render": u["render"] + T_u[..., None] * bg["render"],
-                    "depth": jnp.where(hit_u, u["depth"], bg["depth"]),
-                    "normal": jnp.where(hit_u[..., None], u["normal"],
+                    "render": u["render"],
+                    "depth": jnp.where(u_wins, u["depth"], bg["depth"]),
+                    "normal": jnp.where(u_wins[..., None], u["normal"],
                                         bg["normal"]),
                     # compact unstable ids (>=0) or global stable ids; loss
                     # consumers only test != -1
-                    "depth_index_map": jnp.where(hit_u, u["depth_index_map"],
+                    "depth_index_map": jnp.where(u_wins,
+                                                 u["depth_index_map"],
                                                  bg["depth_index_map"]),
                     "T_map": T_u * bg["T_map"],
                 }
@@ -463,10 +482,14 @@ def _compact_optimize_scan(state: MapState, row_mask: jnp.ndarray,
                 out = u
             sem = None
             if with_semantics:
-                sem_u = render_state(st, cam, usettings, "global",
-                                     colors_precomp=p["sem_rgb"],
-                                     binning=binning)["render"]
-                sem = (sem_u + T_u[..., None] * bg_sem) if use_bg else sem_u
+                sem_bgm = ({"S": bg_sem,
+                            "D": jnp.where(bg["depth_index_map"] >= 0,
+                                           bg["depth"], jnp.float32(1e30)),
+                            "tau": bg["T_final"]} if use_bg else None)
+                sem = render_state(st, cam, usettings, "global",
+                                   colors_precomp=p["sem_rgb"],
+                                   binning=binning,
+                                   bg_maps=sem_bgm)["render"]
             return compute_loss(out, image_input, p, init_stat, valid_u,
                                 weights, add_depth_thres, use_ssim,
                                 sem_render=sem)
@@ -498,6 +521,8 @@ def _compact_optimize_scan(state: MapState, row_mask: jnp.ndarray,
         jnp.max(binnings.clipped), (iters,))
     reports["num_entries"] = jnp.broadcast_to(
         jnp.max(binnings.num_entries), (iters,))
+    reports["entry_demand"] = jnp.broadcast_to(
+        jnp.max(binnings.demand), (iters,))
     return state, reports
 
 
@@ -914,6 +939,8 @@ class Mapping:
         self._uentries_dev = jnp.int32(0)
         self._udropped_dev = jnp.int32(0)
         self._tdropped_dev = jnp.int32(0)
+        self._demand_dev = jnp.int32(0)
+        self._udemand_dev = jnp.int32(0)
         self._warned_dropped = False
         self._dropped_seen = 0
         self._udropped_seen = 0
@@ -991,6 +1018,8 @@ class Mapping:
                                         out["clipped_cells"])
         self._entries_dev = jnp.maximum(self._entries_dev,
                                         out["num_entries"])
+        self._demand_dev = jnp.maximum(self._demand_dev,
+                                       out["entry_demand"])
         return out
 
     def dropped_entries(self) -> tuple:
@@ -1023,20 +1052,23 @@ class Mapping:
 
     @staticmethod
     @jax.jit
-    def _counts(state, dropped, entries, uentries, udropped):
+    def _counts(state, dropped, entries, uentries, udropped, demand,
+                udemand):
         # one stacked array = ONE host transfer (the TPU may sit behind a
         # network tunnel where every readback is a roundtrip); the entry
         # truncation accumulators ride along to drive the entry-cap ladders
         return jnp.stack([jnp.sum(state.status == gm.UNSTABLE),
                           jnp.sum(state.status == gm.STABLE),
-                          state.count, dropped, entries, uentries, udropped])
+                          state.count, dropped, entries, uentries, udropped,
+                          demand, udemand])
 
     def _prefetch_counts(self):
         """Dispatch the counts reduction and start its D2H mirror; the values
         are read (cheaply) on the NEXT host access. Called at end-of-frame so
         `_counts3` is exact for the previous frame's final state."""
         buf = self._counts(self.state, self._dropped_dev, self._entries_dev,
-                           self._uentries_dev, self._udropped_dev)
+                           self._uentries_dev, self._udropped_dev,
+                           self._demand_dev, self._udemand_dev)
         try:
             buf.copy_to_host_async()
         except Exception:
@@ -1045,15 +1077,16 @@ class Mapping:
         self._cached_counts = None
 
     def _counts3(self):
-        return self._counts7()[:3]
+        return self._counts9()[:3]
 
-    def _counts7(self):
+    def _counts9(self):
         if self._cached_counts is None:
             buf = getattr(self, "_counts_buf", None)
             if buf is None:
                 buf = self._counts(self.state, self._dropped_dev,
                                    self._entries_dev, self._uentries_dev,
-                                   self._udropped_dev)
+                                   self._udropped_dev, self._demand_dev,
+                                   self._udemand_dev)
             c = np.asarray(buf)
             self._counts_buf = None
             self._cached_counts = tuple(int(x) for x in c)
@@ -1075,12 +1108,16 @@ class Mapping:
         (async mirror) nears the rung, or immediately after any hard drop.
         Power-of-2 rungs; each move regenerates `self.settings` (bounded
         recompiles of the jitted render/optimize variants)."""
-        u, st, wm, dropped, entries, _, _ = self._counts7()
+        u, st, wm, dropped, entries, _, _, demand, _ = self._counts9()
         alive = max(u + st, 1)
         add = min(self.args.add_capacity,
                   2 * self.args.uniform_sample_num + 8192)
         epg = max(4.0, entries / alive) if entries else 4.0
-        need = int(entries + 2 * add * epg)
+        # `demand` is the binning's exact aligned-layout size (valid
+        # entries + per-tile CHUNK padding — the padding is what the
+        # entries-based r04 ladder missed); headroom covers two frames of
+        # adds at the observed duplication, capped (epg overestimates early)
+        need = int(demand + min(2 * add * epg, 131072))
         rung = self.entry_rung
         if dropped > self._dropped_seen:
             self._dropped_seen = dropped
@@ -1096,13 +1133,17 @@ class Mapping:
         """Unstable-substate ladders (bg local-optimize path): row bucket
         covers the unstable count + two frames of adds; entry rung covers the
         observed unstable entry peak with the same headroom rule."""
-        u, st, wm, dropped, entries, uentries, udropped = self._counts7()
+        (u, st, wm, dropped, entries, uentries, udropped, demand,
+         udemand) = self._counts9()
         need_rows = u + 2 * self.args.add_capacity
         while need_rows > self.ubucket:
             self.ubucket *= 2
         self.ubucket = min(self.ubucket, self.state.capacity)
         epg = max(4.0, uentries / max(u, 1)) if uentries else 4.0
-        need_e = int(uentries + 2 * self.args.add_capacity * epg)
+        # cap the add-headroom: early in a run `uentries/u` overestimates
+        # the per-gaussian duplication and doubled the rung needlessly
+        need_e = int(udemand + min(2 * self.args.add_capacity * epg,
+                                   131072))
         rung = self.uentry_rung
         if udropped > self._udropped_seen:
             self._udropped_seen = udropped
@@ -1350,6 +1391,8 @@ class Mapping:
             # folded into this same report; acceptable coupling: both grow)
             self._uentries_dev = jnp.maximum(self._uentries_dev,
                                              reports["num_entries"][-1])
+            self._udemand_dev = jnp.maximum(self._udemand_dev,
+                                            reports["entry_demand"][-1])
             self._udropped_dev = jnp.maximum(self._udropped_dev,
                                              reports["dropped_entries"][-1])
         t0 = _now()
@@ -1462,10 +1505,11 @@ class Mapping:
                 with_semantics="semantics_color" in frames, use_bg=False,
             )
             ge, gd = [int(x) for x in jax.device_get(
-                (reports["num_entries"][-1], reports["dropped_entries"][-1]))]
+                (reports["entry_demand"][-1],
+                 reports["dropped_entries"][-1]))]
             if gd > 0:
                 self.gentry_rung *= 2
-            while ge + 2048 > self.gentry_rung * 0.75:
+            while ge + 16384 > self.gentry_rung:
                 self.gentry_rung *= 2
             self.gentry_rung = min(self.gentry_rung,
                                    self.base_settings.entry_cap)

@@ -156,7 +156,7 @@ def render_state(state: MapState, cam_inputs: dict, settings: RenderSettings,
                  colors_precomp: Optional[jnp.ndarray] = None,
                  bucket: Optional[int] = None,
                  with_n_touched: bool = False,
-                 binning=None) -> dict:
+                 binning=None, bg_maps: Optional[dict] = None) -> dict:
     """Render a MapState subset.
 
     `bucket` is a STATIC PREFIX length: `add_points` packs alive slots below
@@ -195,7 +195,7 @@ def render_state(state: MapState, cam_inputs: dict, settings: RenderSettings,
             colors, cam_inputs, settings,
             tile_mask=tile_mask,
             valid_mask=sl(valid), with_n_touched=with_n_touched,
-            binning=binning,
+            binning=binning, bg_maps=bg_maps,
         )
         if with_n_touched:
             out["n_touched"] = jnp.zeros(cap, jnp.int32).at[:bucket].set(
@@ -211,7 +211,7 @@ def render_state(state: MapState, cam_inputs: dict, settings: RenderSettings,
         state.xyz, state.get_scaling(), state.get_rotation(),
         state.get_opacity(), colors, cam_inputs, settings,
         tile_mask=tile_mask, valid_mask=valid,
-        with_n_touched=with_n_touched, binning=binning,
+        with_n_touched=with_n_touched, binning=binning, bg_maps=bg_maps,
     )
     out["bucket_overflow"] = jnp.asarray(False)
     return out

@@ -190,15 +190,10 @@ def sample_pixels(key: jax.Array, select_mask: jnp.ndarray, max_samples: int,
     flat_mask = select_mask.reshape(-1)
     n = flat_mask.shape[0]
     scores = jax.random.uniform(key, (n,)) + flat_mask.astype(jnp.float32) * 2.0
-    # approx_max_k (TPU PartialReduce) instead of an exact top_k sort over
-    # ~1M pixels: the selection among masked pixels is uniformly random by
-    # construction, so approximate recall only perturbs WHICH random subset
-    # is taken, never its uniformity; the validity re-check keeps the
-    # contract exact.
-    if jax.default_backend() == "tpu":
-        _, idx = jax.lax.approx_max_k(scores, max_samples)
-    else:
-        _, idx = jax.lax.top_k(scores, max_samples)
+    # exact top_k: hardware-profiled at ~1 ms for 816k pixels — approx_max_k
+    # saved nothing measurable and its recall misses masked pixels when the
+    # masked count is close to the request
+    _, idx = jax.lax.top_k(scores, max_samples)
     rank = jnp.arange(max_samples)
     valid = flat_mask[idx] & (rank < want_num)
     return idx, valid

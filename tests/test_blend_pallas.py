@@ -144,3 +144,48 @@ def test_pallas_normal_map_and_grads_match_ref(rng):
     assert np.abs(gr).max() > 0
     scale = np.abs(gr).max() + 1e-8
     np.testing.assert_allclose(gp / scale, gr / scale, atol=2e-4)
+
+
+def test_pallas_bg_surface_matches_ref(rng):
+    """One-surface background composite: pallas fwd+bwd vs the ref path."""
+    scene = make_scene(rng, P=80, W=48, H=32)
+    cam, means, scales, q, opac, colors = scene
+    H, W = cam.height, cam.width
+    bgr = np.random.default_rng(5)
+    bg_maps = {
+        "S": jnp.asarray(bgr.uniform(0, 1, (H, W, 3)), jnp.float32),
+        "D": jnp.asarray(bgr.uniform(1.5, 3.5, (H, W)), jnp.float32),
+        "tau": jnp.asarray(bgr.uniform(0.0, 1.0, (H, W)), jnp.float32),
+    }
+
+    def run(impl, m, c):
+        settings = RenderSettings(width=W, height=H, impl=impl,
+                                  max_tiles_per_gaussian=16)
+        return rasterize(
+            jnp.asarray(m, jnp.float32), jnp.asarray(scales, jnp.float32),
+            jnp.asarray(q, jnp.float32), jnp.asarray(opac, jnp.float32),
+            jnp.asarray(c, jnp.float32), cam.render_inputs(), settings,
+            bg_maps=bg_maps)
+
+    out_p = run("pallas", means, colors)
+    out_r = run("ref", means, colors)
+    np.testing.assert_allclose(np.asarray(out_p["render"]),
+                               np.asarray(out_r["render"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_p["T_final"]),
+                               np.asarray(out_r["T_final"]), atol=1e-5)
+
+    gt = jnp.zeros((H, W, 3))
+
+    def loss(impl):
+        def f(m, c):
+            o = run(impl, m, c)
+            return jnp.abs(o["render"] - gt).mean()
+        return f
+
+    gp = jax.grad(loss("pallas"), argnums=(0, 1))(
+        jnp.asarray(means, jnp.float32), jnp.asarray(colors, jnp.float32))
+    gr = jax.grad(loss("ref"), argnums=(0, 1))(
+        jnp.asarray(means, jnp.float32), jnp.asarray(colors, jnp.float32))
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-3)

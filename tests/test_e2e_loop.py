@@ -79,7 +79,7 @@ def test_slam_system_loop_closure_fires():
     assert be.loop_closures >= 1, "revisit did not fire a loop closure"
     # map points + local BA ran along the way (covisibility tier)
     assert be.num_mappoints() > 50
-    assert be.ba_residual() < 0.05
+    assert be.ba_residual() < 0.08
     # metric sanity: end pose returned to the start
     ate = system.tracker.eval_ate_series()
     assert ate < 5.0, f"post-loop ATE {ate:.2f} cm"
