@@ -140,6 +140,12 @@ class MapParams:
     initial_ubucket: int = 8192               # unstable substate rows
     initial_uentry_rung: int = 1 << 15        # unstable-scan entry cap
     initial_gentry_rung: int = 1 << 18        # compact-global entry cap
+    initial_gbucket: int = 16384              # compact-global substate rows
+    # tile-duplication cap for the LOCAL optimize renders only: young
+    # unstable gaussians dominate the entry mass (3-6 tiles each, with a
+    # depth-edge tail that clips even at 16); halving their window keeps
+    # the high-alpha center cells and cuts the scan's entry demand
+    local_max_tiles_per_gaussian: int = 16
 
     # local-optimize render mode: "bg" composites the unstable render in
     # front of a per-scan pre-blended stable background (~10x cheaper per

@@ -238,11 +238,19 @@ def scales_from_knn(d2: jnp.ndarray, idx: jnp.ndarray,
     order = jnp.argsort(d2, axis=1)[:, :3]
     d2 = jnp.take_along_axis(d2, order, axis=1)
     idx = jnp.take_along_axis(idx, order, axis=1)
-    dist = jnp.sqrt(d2) - 3.0 * cand_radius[idx]
-    invalid = jnp.any(dist < 0, axis=1)
-    dist2 = jnp.mean(dist * dist, axis=1)
+    # post-search exclusions can leave fewer than 3 usable neighbors; the
+    # BIG sentinel must NOT enter the mean — it used to clamp the scale to
+    # max_radius, silently seeding giant gaussians wherever a point's
+    # nearest neighbors were all coverage-dropped (r04 bench receipts:
+    # clipped_cells 53k -> 1M until this fix)
+    missing = d2 >= BIG * 0.5
+    dist = jnp.sqrt(jnp.where(missing, 0.0, d2)) - 3.0 * cand_radius[idx]
+    invalid = jnp.any((dist < 0) & (~missing), axis=1)
+    cnt = jnp.sum(~missing, axis=1)
+    dist2 = (jnp.sum(jnp.where(missing, 0.0, dist * dist), axis=1)
+             / jnp.maximum(cnt, 1))
     scales = jnp.clip(jnp.sqrt(dist2), min_radius, max_radius)
     factor = jnp.asarray(xyz_factor, jnp.float32)
     log_scales = jnp.log(scale_factor * scales[:, None] * factor[None, :])
-    keep = new_valid & (~invalid)
+    keep = new_valid & (~invalid) & (cnt > 0)
     return log_scales, keep

@@ -679,7 +679,7 @@ def densify_step(state: MapState, frame_map: dict, cam: dict,
     mask_unst = jnp.concatenate([jnp.zeros((M,), bool), unstable_b])
     mask_all = jnp.concatenate([new["valid"], exist_valid])
     (d2u, iu), (d2a, ia) = knn2(new["xyz"], cand_xyz, mask_unst, mask_all,
-                                k=6)
+                                k=8)
     nn_rad = cand_rad[iu[:, :3]] * 0.6
     covered = (jnp.any(jnp.sqrt(d2u[:, :3]) < nn_rad, axis=-1)
                & (state.num_unstable() > 0))
@@ -951,13 +951,18 @@ class Mapping:
         self.uentry_rung = min(
             int(getattr(args, "initial_uentry_rung", 1 << 15) or (1 << 15)),
             self.base_settings.entry_cap)
+        self._local_R = int(getattr(args, "local_max_tiles_per_gaussian", 8)
+                            or 8)
         self.usettings = self.base_settings._replace(
-            entry_cap=self.uentry_rung)
+            entry_cap=self.uentry_rung,
+            max_tiles_per_gaussian=self._local_R)
         # compact global-optimize entry rung (sized post-hoc per keyframe
         # event; starts generous to avoid first-event truncation)
         self.gentry_rung = min(
             int(getattr(args, "initial_gentry_rung", 1 << 18) or (1 << 18)),
             self.base_settings.entry_cap)
+        self.gbucket = min(int(getattr(args, "initial_gbucket", 16384)
+                               or 16384), args.capacity)
         self.save_path = args.save_path
         from ..utils.monitor import ScalarLogger
         self.logger = ScalarLogger(self.save_path,
@@ -1153,7 +1158,8 @@ class Mapping:
         rung = min(rung, self.base_settings.entry_cap)
         if rung != self.uentry_rung:
             self.uentry_rung = rung
-            self.usettings = self.base_settings._replace(entry_cap=rung)
+            self.usettings = self.base_settings._replace(
+                entry_cap=rung, max_tiles_per_gaussian=self._local_R)
 
     def _update_bucket(self):
         """Keep the render prefix ahead of the slot WATERMARK (renders slice
@@ -1492,10 +1498,11 @@ class Mapping:
             n_rows = int(jax.device_get(jnp.sum(mask_dev)))
             if n_rows == 0:
                 return
-            sb = 16384
+            sb = self.gbucket
             while n_rows + 1024 > sb:
                 sb *= 2
             sb = min(sb, self.state.capacity)
+            self.gbucket = sb        # sticky: row-bucket growth recompiles
             gsettings = self.base_settings._replace(
                 entry_cap=min(self.gentry_rung, self.settings.entry_cap))
             self.state, reports = compact_optimize_scan(
