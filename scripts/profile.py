@@ -168,11 +168,13 @@ def main():
     bg = (0.0, 0.0, 0.0)
     feats0 = pack_entries(pre0, b0, colors0, op_b)
 
+    bgt0 = jnp.zeros((1, 1, 8), jnp.float32)
+
     def blend_step(c, i):
         (f,) = c
         color, aux, nt = _blend_core(f, b0.block_tile, b0.num_blocks, scal,
-                                     num_tiles, settings.tile_size, TW,
-                                     params, bg)
+                                     bgt0, num_tiles, settings.tile_size, TW,
+                                     params, bg, False)
         return (dep(f, color),)
     chain_time("blend fwd (pallas)", blend_step, (feats0,))
 
@@ -180,8 +182,9 @@ def main():
         (f,) = c
         def loss(ff):
             color, aux, nt = _blend_core(ff, b0.block_tile, b0.num_blocks,
-                                         scal, num_tiles, settings.tile_size,
-                                         TW, params, bg)
+                                         scal, bgt0, num_tiles,
+                                         settings.tile_size, TW, params, bg,
+                                         False)
             return jnp.sum(color[:, :, 0:4])
         g = jax.grad(loss)(f)
         return (dep(f, g),)
