@@ -178,6 +178,15 @@ def main():
         return (dep(f, color),)
     chain_time("blend fwd (pallas)", blend_step, (feats0,))
 
+    def packvjp_step(c, i):
+        (cl,) = c
+
+        def loss(cc):
+            return jnp.sum(pack_entries(pre0, b0, cc, op_b))
+        g = jax.grad(loss)(cl)
+        return (dep(cl, g),)
+    chain_time("packvjp pack+scatter-back", packvjp_step, (colors0,))
+
     def blend_grad_step(c, i):
         (f,) = c
         def loss(ff):
@@ -334,6 +343,69 @@ def main():
     u_mask = sub.status == 1
     chain_time("bg local-opt iter (64k unstable)", uiter_step, usub_params,
                n1=2, n2=8)
+
+    # --- bench-shape local iteration, full loss vs raw-sum ablation ---
+    # replicates mapper.compact_optimize_scan's step at the BENCH's static
+    # shapes (ubucket 2^17 rows, uentry cap 2^20) to locate the per-iter
+    # mass the piece chains don't explain
+    from dqo_map_tpu.slam.mapper import compute_loss
+    UB2 = 1 << 17
+    n_u2 = 100_000
+    sub2 = gm.empty_map(UB2)._replace(
+        xyz=state.xyz[:UB2], scaling=state.scaling[:UB2],
+        rotation=state.rotation[:UB2], opacity=state.opacity[:UB2],
+        sh=state.sh[:UB2],
+        status=jnp.where(jnp.arange(UB2) < n_u2, 1, 0),
+        count=jnp.int32(n_u2))
+    bsettings = settings._replace(entry_cap=1 << 20)
+    ub2 = compute_binning_state(sub2, cam, bsettings, "global")
+    print(f"   bench-shape sub entries={int(ub2.num_entries)} "
+          f"demand={int(ub2.demand)}")
+    bgm2 = {"S": jnp.zeros((H, W, 3)), "D": jnp.full((H, W), 1e30),
+            "tau": jnp.ones((H, W))}
+    image_input = {
+        "color_map": jnp.zeros((H, W, 3)), "depth_map": jnp.ones((H, W)),
+        "normal_map": jnp.zeros((H, W, 3)).at[..., 2].set(1.0),
+        "render_mask": jnp.ones((H, W), bool),
+    }
+    weights = {"color": 0.8, "depth": 1.0, "normal": 0.0, "ssim": 0.0}
+    init_stat2 = {k: gp(sub2)[k]
+                  for k in ("opacity", "scaling", "xyz", "rotation")}
+    vu2 = jnp.arange(UB2) < n_u2
+
+    def bench_iter(c, i, full_loss):
+        p = c
+
+        def loss_fn(p):
+            st = set_params_local(sub2, p)
+            u = render_state(st, cam, bsettings, "global", binning=ub2,
+                             bg_maps=bgm2)
+            if not full_loss:
+                return jnp.sum(u["render"]) + jnp.sum(u["depth"])
+            hit_u = u["depth_index_map"] >= 0
+            out = {
+                "render": u["render"],
+                "depth": jnp.where(hit_u, u["depth"], 1.0),
+                "normal": u["normal"],
+                "depth_index_map": u["depth_index_map"],
+                "T_map": u["T_map"],
+            }
+            l, _ = compute_loss(out, image_input, p, init_stat2, vu2,
+                                weights, 0.1, False)
+            return l
+        g = jax.grad(loss_fn)(p)
+        newp, _ = adam_update(p, g, usub2_opt, {k: 1e-3 for k in p}, vu2)
+        return {k: dep(v, g[k]) for k, v in newp.items()}
+
+    import functools
+    usub2_params = gp(sub2)
+    usub2_opt = adam_init(usub2_params)
+    chain_time("bench-shape iter RAW loss", 
+               functools.partial(bench_iter, full_loss=False),
+               usub2_params, n1=2, n2=8)
+    chain_time("bench-shape iter FULL loss",
+               functools.partial(bench_iter, full_loss=True),
+               usub2_params, n1=2, n2=8)
 
 
 if __name__ == "__main__":
