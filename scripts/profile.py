@@ -407,6 +407,41 @@ def main():
                functools.partial(bench_iter, full_loss=True),
                usub2_params, n1=2, n2=8)
 
+    def bench_iter_parts(c, i, mode):
+        p = c
+
+        def loss_fn(p):
+            st = set_params_local(sub2, p)
+            u = render_state(st, cam, bsettings, "global", binning=ub2,
+                             bg_maps=bgm2)
+            rm = image_input["render_mask"]
+            l = (jnp.abs(u["render"] - image_input["color_map"])
+                 * rm[..., None]).sum() / rm.sum()
+            if mode >= 1:       # + depth term with validity masks
+                hit_u = u["depth_index_map"] >= 0
+                derr = jnp.where(hit_u, u["depth"], 1.0)                     - image_input["depth_map"]
+                vd = (hit_u & (image_input["depth_map"] > 0)
+                      & (derr < 0.1) & rm)
+                l = l + (jnp.abs(derr) * vd).sum() / jnp.maximum(
+                    vd.sum(), 1)
+            if mode >= 2:       # + attach anchor
+                init_op = jax.nn.sigmoid(init_stat2["opacity"])
+                am = (init_op < 0.9) & vu2
+                for k in ("scaling", "xyz", "rotation"):
+                    l = l + 1000.0 * ((p[k] - init_stat2[k]) ** 2
+                                      * am[:, None]).sum() / jnp.maximum(
+                        am.sum() * 3, 1)
+            return l
+        g = jax.grad(loss_fn)(p)
+        newp, _ = adam_update(p, g, usub2_opt, {k: 1e-3 for k in p}, vu2)
+        return {k: dep(v, g[k]) for k, v in newp.items()}
+
+    for mode, name in ((0, "color-only"), (1, "color+depth"),
+                       (2, "color+depth+attach")):
+        chain_time(f"bench-shape iter {name}",
+                   functools.partial(bench_iter_parts, mode=mode),
+                   usub2_params, n1=2, n2=8)
+
 
 if __name__ == "__main__":
     main()
