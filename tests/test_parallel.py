@@ -169,7 +169,7 @@ def _parallel_slam_run(tmp_path_factory, n_devices, tag):
     assert system.mapping.mesh is not None
     assert system.mapping.mesh.devices.size == n_devices
     result = system.run(eval_every=0, verbose=False, max_frames=5)
-    poses = np.load(f"{out}/pose_es.npy")
+    poses = np.load(f"{out}/save_traj/pose_es.npy")
     return system, result, poses
 
 
