@@ -74,6 +74,9 @@ def main():
         # work before it can serve as the ICP reference
         use_gt_pose=False,
         icp_use_model_depth=os.environ.get("BENCH_ICP_MODEL", "0") == "1",
+        # BENCH_ORB=1 enables the native feature backend (keyframe
+        # anchoring bounds the ICP-only drift on long runs)
+        use_orb_backend=os.environ.get("BENCH_ORB", "0") == "1",
         local_opt_mode=os.environ.get("BENCH_LOCAL_MODE", "bg"),
         capacity=1 << 19, add_capacity=16384, initial_bucket=bucket,
         # ladder plateaus for this workload — pinned so no rung moves (=

@@ -124,7 +124,6 @@ class MapParams:
     T_threshold: float = 0.0001
     tile_size: int = 16
     max_tiles_per_gaussian: int = 16          # binning duplication cap (TPU)
-    rebin_every: int = 1                      # re-sort cadence inside optimize loops
     # entry-budget knobs (truncation safety; see `ops/rasterize.entry_budget`).
     # Renders report `dropped_entries` when any cap bites; raise these if a
     # run ever warns about truncation.
