@@ -442,6 +442,34 @@ def main():
                    functools.partial(bench_iter_parts, mode=mode),
                    usub2_params, n1=2, n2=8)
 
+    # --- densify_step at bench shapes -------------------------------------
+    from dqo_map_tpu.slam.mapper import densify_step
+    fm = {
+        "depth_map": jnp.full((H, W), 2.0),
+        "color_map": jnp.zeros((H, W, 3)),
+        "vertex_map_w": jnp.zeros((H, W, 3)).at[..., 2].set(2.0),
+        "normal_map_w": jnp.zeros((H, W, 3)).at[..., 2].set(1.0),
+    }
+    mm = {
+        "T_map": jnp.full((H, W), 0.6), "depth": jnp.full((H, W), 2.0),
+        "render": jnp.zeros((H, W, 3)),
+        "depth_index_map": jnp.zeros((H, W), jnp.int32),
+        "color_index_map": jnp.zeros((H, W), jnp.int32),
+    }
+    dcfg = (40800, 0.5, 1.0, 0.1, 0.1, 0.05, 0.99, 1.0, 1.0, 0.1,
+            1.0, 0.001, 0.05)
+    key0 = jax.random.key(0)
+
+    def dens_step(c, i):
+        (st_xyz,) = c
+        st = state._replace(xyz=st_xyz)
+        new_state, n_added = densify_step(
+            st, fm, cam, mm, jnp.asarray(False), key0, jnp.int32(5),
+            jnp.int32(5), settings, 16384, dcfg, bucket=BUCKET)
+        return (dep(st_xyz, new_state.xyz),)
+    chain_time("densify_step full (bench shapes)", dens_step, (state.xyz,),
+               n1=2, n2=8)
+
 
 if __name__ == "__main__":
     main()
