@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,6 +46,20 @@ def _lpips(img1: np.ndarray, img2: np.ndarray) -> Optional[float]:
         return None
 
 
+@jax.jit
+def _depth_metrics(depth, index, gtd, min_depth, max_depth):
+    """Depth-L1 (m) + valid-pixel ratio in ONE compiled program (eager
+    per-op dispatch costs a tunnel roundtrip compile each on the TPU
+    backend)."""
+    valid_range = (gtd > min_depth) & (gtd < max_depth)
+    gtd = jnp.where(valid_range, gtd, 0.0)
+    invalid = (index == -1) | (gtd == 0)
+    derr = jnp.where(invalid, 0.0, jnp.abs(gtd - depth))
+    nvalid = (~invalid).sum()
+    return (derr.sum() / jnp.maximum(nvalid, 1),
+            nvalid / invalid.size, gtd)
+
+
 def eval_picture(render_output: dict, gt_color: np.ndarray,
                  gt_depth: np.ndarray, min_depth: float, max_depth: float,
                  save_path: Optional[str] = None, with_lpips: bool = False):
@@ -68,14 +83,10 @@ def eval_picture(render_output: dict, gt_color: np.ndarray,
         msssim_v = float("nan")
     color_l1 = float(l1_loss(gt_img, image))
 
-    gtd = jnp.asarray(gt_depth)
-    valid_range = (gtd > min_depth) & (gtd < max_depth)
-    gtd = jnp.where(valid_range, gtd, 0.0)
-    invalid = (index == -1) | (gtd == 0)
-    derr = jnp.where(invalid, 0.0, jnp.abs(gtd - depth))
-    nvalid = jnp.maximum((~invalid).sum(), 1)
-    depth_l1_cm = float(derr.sum() / nvalid * 100)
-    valid_ratio = float((~invalid).sum() / invalid.size)
+    dl1, vratio, gtd = _depth_metrics(depth, index, jnp.asarray(gt_depth),
+                                      min_depth, max_depth)
+    depth_l1_cm = float(dl1) * 100
+    valid_ratio = float(vratio)
 
     metrics = {
         "psnr": psnr_v, "ssim": ssim_v, "ms_ssim": msssim_v,

@@ -6,13 +6,14 @@ Pure-JAX equivalents of `utils/loss_utils.py`. Images are channel-first
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
+@jax.jit
 def l1_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.abs(a - b).mean()
 
@@ -31,6 +32,7 @@ def masked_l1(a: jnp.ndarray, b: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(den > 0, num / jnp.maximum(den, 1e-12), 0.0)
 
 
+@jax.jit
 def psnr(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
     mse = jnp.mean((img1 - img2) ** 2)
     return 20 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
@@ -71,12 +73,18 @@ def _blur_separable(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
     return z
 
 
+@partial(jax.jit, static_argnames=("window_size",))
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
     """Mean SSIM over a (C,H,W) pair with SAME padding, matching
     `utils/loss_utils.py:62-100` (window sigma 1.5, C1=0.01^2, C2=0.03^2).
 
     All five window means run as ONE stacked separable blur; zero-padded
     borders match the reference's conv2d SAME-padding semantics exactly.
+
+    Jitted at the def site: callers outside jit (bench/CLI eval) would
+    otherwise dispatch ~50 eager micro programs per call — each one a
+    compile + roundtrip on the tunneled TPU backend. Inside an outer jit
+    the nested jit inlines, so hot-loop users are unaffected.
     """
     taps = _gaussian_taps(window_size, 1.5)
     stacked = jnp.stack(
@@ -94,6 +102,7 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.nda
     return ssim_map.mean()
 
 
+@partial(jax.jit, static_argnames=("levels",))
 def ms_ssim(img1: jnp.ndarray, img2: jnp.ndarray, levels: int = 5) -> jnp.ndarray:
     """Multi-scale SSIM ((C,H,W)), standard weights, for eval parity with
     pytorch_msssim (ref `SLAM/eval.py`). Levels adapt down when the image is
