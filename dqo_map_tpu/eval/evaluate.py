@@ -93,10 +93,16 @@ def eval_picture(render_output: dict, gt_color: np.ndarray,
         "color_l1": color_l1, "depth_l1_cm": depth_l1_cm,
         "valid_ratio": valid_ratio,
     }
-    if with_lpips:
-        lp = _lpips(np.asarray(image), np.asarray(gt_img))
-        if lp is not None:
-            metrics["lpips"] = lp
+    # the reference reports LPIPS(alex) on every eval (SLAM/eval.py:60-185);
+    # the key is ALWAYS present so downstream tables never silently lose the
+    # column — None + reason when the torch/torchmetrics stack (or its
+    # pretrained AlexNet weights) is unavailable in this environment.
+    lp = _lpips(np.asarray(image), np.asarray(gt_img)) if with_lpips else None
+    metrics["lpips"] = lp
+    if lp is None:
+        metrics["lpips_note"] = (
+            "not computed" if not with_lpips else
+            "torchmetrics/pretrained-AlexNet unavailable (offline env)")
 
     if save_path:
         os.makedirs(save_path, exist_ok=True)

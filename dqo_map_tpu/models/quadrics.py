@@ -27,6 +27,11 @@ OBS_CAP = 48          # observations kept per object (reference keeps all)
 MAX_OBJECTS = 64      # compiled optimizer width
 OBJ_ITERS = 20        # refinement iterations (ref quadrics.py:2252)
 
+# no-silent-caps receipts: every time a fixed capacity actually bites, the
+# event is counted here and surfaced in the run summary (the repo's rule
+# from the binning work; the reference keeps all observations/objects).
+TRUNCATION = {"obs_trimmed": 0, "objects_over_cap": 0}
+
 
 # ---------------------------------------------------------------------------
 # numpy dual-form algebra (host side)
@@ -241,6 +246,7 @@ class MapObject:
         self.Rts_.append(np.asarray(Rt, np.float64))
         if len(self.bboxes_) > OBS_CAP:
             # keep the first observation + the most recent window
+            TRUNCATION["obs_trimmed"] += len(self.bboxes_) - OBS_CAP
             self.bboxes_ = [self.bboxes_[0]] + self.bboxes_[-(OBS_CAP - 1):]
             self.Rts_ = [self.Rts_[0]] + self.Rts_[-(OBS_CAP - 1):]
 
@@ -621,6 +627,8 @@ class ObjectLayer:
             active.append(idx)
         if not active:
             return
+        if len(active) > MAX_OBJECTS:
+            TRUNCATION["objects_over_cap"] += len(active) - MAX_OBJECTS
         active = active[:MAX_OBJECTS]
         O = MAX_OBJECTS
         K = self._K

@@ -122,7 +122,8 @@ def dp_optimize_scan(mesh: Mesh, state: MapState, frames: dict,
                      settings: RenderSettings, iters: int, status_value: int,
                      add_depth_thres: float, subset: str = "stable",
                      bucket: Optional[int] = None,
-                     with_tile_mask: bool = True):
+                     with_tile_mask: bool = True,
+                     use_ssim: bool = False):
     """Scan-compiled data-parallel replacement for `mapper.optimize_scan`.
 
     Compiled executables are cached per (mesh, settings, iters, ...) via
@@ -160,6 +161,7 @@ def dp_optimize_scan(mesh: Mesh, state: MapState, frames: dict,
     fn = _dp_scan_factory(
         mesh, settings, int(iters), int(status_value),
         float(add_depth_thres), subset, bucket, bool(with_tile_mask),
+        bool(use_ssim),
         tuple(sorted(frames.keys())),
         tuple(sorted((k, _freeze(v)) for k, v in lrs.items())),
         tuple(sorted((k, float(v)) for k, v in weights.items())))
@@ -170,6 +172,7 @@ def dp_optimize_scan(mesh: Mesh, state: MapState, frames: dict,
 def _dp_scan_factory(mesh: Mesh, settings: RenderSettings, iters: int,
                      status_value: int, add_depth_thres: float, subset: str,
                      bucket: Optional[int], with_tile_mask: bool,
+                     use_ssim: bool,
                      frame_keys: tuple, lrs_items: tuple, weights_items: tuple):
     from ..slam.mapper import compute_loss
     from ..slam.renderer import compute_binning_state
@@ -237,7 +240,7 @@ def _dp_scan_factory(mesh: Mesh, settings: RenderSettings, iters: int,
                     image_input["instance_img"] = fr["instance_img"][i]
                 loss, _ = compute_loss(out, image_input, p, init_stat,
                                        opt_mask, weights, add_depth_thres,
-                                       False, sem_render=sem)
+                                       use_ssim, sem_render=sem)
                 return loss
             losses = jax.lax.map(floss, jnp.arange(f_local))
             return (losses * w_shard).sum()

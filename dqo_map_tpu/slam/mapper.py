@@ -869,13 +869,22 @@ def stage_times(reset: bool = False) -> dict:
 
 def _pr(tag, t0, out=None):
     """Stage timing under DQO_PROFILE / profile_enable: sync + record + print.
-    No-op otherwise."""
+    No-op otherwise.
+
+    The sync is a TINY REAL READBACK, not `block_until_ready`: on the
+    tunneled axon backend block_until_ready returns immediately without
+    waiting for device completion (measured: 0.0 ms after a 800 ms chain),
+    which made every r04 stage number a host-dispatch artifact. A 1-element
+    np.asarray readback genuinely drains the queue; it costs one ~27 ms
+    tunnel roundtrip per stage, so profile-pass stage sums overstate frame
+    time by ~27 ms x n_stages — the SPLIT is the receipt, not the sum."""
     if not _PROFILE:
         return
     import sys
     import time as _t
     if out is not None:
-        jax.block_until_ready(out)
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(leaf.ravel()[:1] if leaf.ndim else leaf)
     ms = (_t.perf_counter() - t0) * 1000
     _STAGES.setdefault(tag, []).append(ms)
     print(f"#   {tag}: {ms:.1f} ms", file=sys.stderr)
@@ -1480,14 +1489,16 @@ class Mapping:
                 self.mesh, self.state, frames, fweight, lrs, dict(weights),
                 self.settings, iters, gm.STABLE, self.args.add_depth_thres,
                 subset="stable", bucket=self.bucket,
-                with_tile_mask=not is_final,
+                with_tile_mask=not is_final, use_ssim=is_final,
             )
         elif is_final:
+            # the reference turns SSIM on exactly for the unmasked final pass
+            # (render_mask is None -> use_ssim, ref mapper.py:836-841)
             self.state, reports = optimize_scan(
                 self.state, frames, rand_idx, lrs, weights, self.settings,
                 iters, gm.STABLE, self.args.add_depth_thres,
                 with_tile_mask=False, subset="stable",
-                bucket=self.bucket,
+                bucket=self.bucket, use_ssim=True,
             )
         else:
             # steady-state keyframe pass: compact to the stable rows that

@@ -238,5 +238,13 @@ class SLAMSystem:
         perf = self.recorder.save(self.save_path)
         result = {**final, "ate_cm": ate, **perf}
         if self.object_layer is not None:
+            from ..models.quadrics import TRUNCATION
             result["n_objects"] = len(self.object_layer.objects)
+            # no-silent-caps receipts (OBS_CAP / MAX_OBJECTS events)
+            result["obj_obs_trimmed"] = TRUNCATION["obs_trimmed"]
+            result["obj_over_cap"] = TRUNCATION["objects_over_cap"]
+            if TRUNCATION["obs_trimmed"] or TRUNCATION["objects_over_cap"]:
+                print(f"[objects] capacity receipts: "
+                      f"obs_trimmed={TRUNCATION['obs_trimmed']} "
+                      f"objects_over_cap={TRUNCATION['objects_over_cap']}")
         return result
