@@ -82,23 +82,86 @@ def build_pyramids(depth: jnp.ndarray, K: jnp.ndarray, levels: int = 3):
     return vp, npyr
 
 
+def _median3x3(x):
+    """9-tap median on (H,W) via a partial selection network on shifted
+    views (edge-padded). ~30 elementwise min/max passes — trivial VPU cost
+    at frame scale."""
+    p = jnp.pad(x, 1, mode="edge")
+    H, W = x.shape
+    v = [p[dy:dy + H, dx:dx + W] for dy in range(3) for dx in range(3)]
+
+    def cas(i, j):
+        lo = jnp.minimum(v[i], v[j])
+        hi = jnp.maximum(v[i], v[j])
+        v[i], v[j] = lo, hi
+
+    # median-of-9 selection network (Paeth), 19 compare-exchanges
+    for a, b in ((1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2),
+                 (4, 5), (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4),
+                 (2, 5), (4, 7), (4, 2), (6, 4), (4, 2)):
+        cas(a, b)
+    return v[4]
+
+
 @jax.jit
 def fuse_model_depth(render_depth, frame_depth, render_normal, frame_normal,
                      sample_distance_threshold: float = 0.01,
                      sample_normal_threshold: float = 0.01):
-    """Fill the rendered model depth with observed depth where they disagree
-    (ref `IcpTracker.update_last_status`, icp.py:403-421)."""
+    """Frame-to-model depth fusion for the next ICP reference
+    (ref `IcpTracker.update_last_status`, icp.py:403-421), made
+    ERROR-ADAPTIVE (r04 post-mortem, PROFILE_r04.md):
+
+    The reference keeps the RENDERED depth wherever it agrees with the frame
+    within a fixed 1 cm threshold. That is only a win when the sensor depth
+    is noisier than the render: our hit-plane depth render carries
+    ~0.5-0.8 cm error, so on noiseless (synthetic / ray-cast) depth the
+    fixed rule replaces exact pixels with noisy ones and ATE collapses
+    0.55 -> 3.7-4.5 cm (BENCH_r04 tries 2/3/7/14).
+
+    Fix, two parts:
+    1. the render depth is 3x3-median filtered first — the hit-Gaussian
+       selection switches between overlapping gaussians pixel-to-pixel and
+       the plane intersection makes that speckle, which the median removes
+       without softening true depth edges;
+    2. the fused value is an inverse-variance blend
+       w = s_f^2 / (s_f^2 + s_r^2) of render and frame, with the sensor
+       noise s_f estimated from the frame depth's own high-frequency
+       residual (|frame - median3x3(frame)| over valid, planar pixels) and
+       the render error s_r^2 = max(s_d^2 - s_f^2, 0) from the total
+       render-frame deviation s_d. Noiseless frames give s_f ~ 0 -> w ~ 0
+       -> the fused map IS the frame map (exactly the OFF behavior); noisy
+       sensors give w -> 1 and the smooth model depth dominates, which is
+       the RTG-SLAM drift-bounding mechanism this hook exists for.
+
+    Robust scales use the mean of |.| over the gated pixels (the cheap
+    estimator; a median over 816k pixels costs a sort per frame).
+    """
+    rd = _median3x3(render_depth)
     cos = jnp.sum(render_normal * frame_normal, axis=-1) / (
         jnp.linalg.norm(render_normal, axis=-1)
         * jnp.linalg.norm(frame_normal, axis=-1) + 1e-8
     )
-    normal_mask = (1.0 - cos) > sample_normal_threshold
-    fill = (
-        (jnp.abs(render_depth - frame_depth) > sample_distance_threshold)
-        | (render_depth == 0)
-        | normal_mask
-    ) & (frame_depth > 0)
-    return jnp.where(fill, frame_depth, render_depth)
+    normal_ok = (1.0 - cos) <= sample_normal_threshold
+    both = (frame_depth > 0) & (rd > 0)
+    agree = both & normal_ok & (
+        jnp.abs(rd - frame_depth) <= sample_distance_threshold)
+
+    def gated_mean(x, m):
+        return jnp.sum(jnp.where(m, x, 0.0)) / jnp.maximum(jnp.sum(m), 1)
+
+    # sensor-noise scale from the frame's own speckle (mean |highpass|,
+    # scaled to sigma for a normal: E|x| = sigma * sqrt(2/pi))
+    hp = jnp.abs(frame_depth - _median3x3(frame_depth))
+    s_f = gated_mean(hp, agree) * 1.2533
+    # total render-frame deviation over agreeing pixels
+    s_d = gated_mean(jnp.abs(rd - frame_depth), agree) * 1.2533
+    s_r2 = jnp.maximum(s_d * s_d - s_f * s_f, 1e-12)
+    w = (s_f * s_f) / (s_f * s_f + s_r2)
+
+    fused = jnp.where(agree, w * rd + (1.0 - w) * frame_depth, frame_depth)
+    # frame-invalid pixels keep the (filtered) render depth, like the
+    # reference's fill &= (frame_depth > 0) gate
+    return jnp.where(frame_depth > 0, fused, rd)
 
 
 class Tracker:
