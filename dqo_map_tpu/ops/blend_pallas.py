@@ -651,6 +651,51 @@ def pack_entries(pre, b, colors, opacities):
         axis=0)
 
 
+def tile_map(x, tile_size: int, width: int, height: int):
+    """(H,W[,C]) -> (num_tiles, n_px[,C]) in the kernels' tile-row order
+    (zero-padded edge tiles). The inverse of the untile in
+    `blend_tiles_pallas`; used to move GT maps into tile space ONCE per
+    optimize scan so the per-iteration loss runs layout-free."""
+    TH = (height + tile_size - 1) // tile_size
+    TW = (width + tile_size - 1) // tile_size
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[..., None]
+    C = x.shape[-1]
+    pad_h = TH * tile_size - height
+    pad_w = TW * tile_size - width
+    x = jnp.pad(x, ((0, pad_h), (0, pad_w), (0, 0)))
+    x = x.reshape(TH, tile_size, TW, tile_size, C)
+    x = jnp.moveaxis(x, 2, 1).reshape(TH * TW, tile_size * tile_size, C)
+    return x[..., 0] if squeeze else x
+
+
+def untile_map(x, tile_size: int, width: int, height: int):
+    """(num_tiles, n_px[,C]) -> (H,W[,C]): inverse of `tile_map`."""
+    TH = (height + tile_size - 1) // tile_size
+    TW = (width + tile_size - 1) // tile_size
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[..., None]
+    C = x.shape[-1]
+    x = x.reshape(TH, TW, tile_size, tile_size, C)
+    x = jnp.moveaxis(x, 2, 1).reshape(TH * tile_size, TW * tile_size, C)
+    x = x[:height, :width]
+    return x[..., 0] if squeeze else x
+
+
+def pack_bg_tiled(S, D, tau):
+    """Assemble the kernel's (num_tiles+1, n_px, NB) background operand from
+    ALREADY-TILED maps (S (T,n_px,3), D (T,n_px), tau (T,n_px)) — the
+    optimize scans render the stable background with `tiled=True` and pack
+    it once per scan, skipping `tile_px_maps`' image->tile transposes."""
+    T, n_px = D.shape
+    cat = jnp.concatenate(
+        [S, D[..., None], tau[..., None],
+         jnp.zeros((T, n_px, NB - 5), S.dtype)], axis=-1)
+    return jnp.concatenate([cat, jnp.zeros((1, n_px, NB), S.dtype)], axis=0)
+
+
 def tile_px_maps(maps: list, tile_size: int, width: int, height: int,
                  num_tiles: int):
     """Stack (H,W[,C]) maps into the kernels' (num_tiles+1, n_px, NB) layout
@@ -672,11 +717,19 @@ def tile_px_maps(maps: list, tile_size: int, width: int, height: int,
 
 def blend_tiles_pallas(pre, b, entry_valid, colors, opacities, num_tiles,
                        tile_size, width, height, K, params: BlendParams, bg,
-                       max_chunks: int = 32, bg_tiled=None):
+                       max_chunks: int = 32, bg_tiled=None,
+                       tiled: bool = False):
     """Drop-in twin of `blend.blend_tiles_ref` backed by the Pallas kernels.
 
     `bg_tiled` ((num_tiles+1, n_px, NB), from `tile_px_maps([S, D, tau])`)
-    enables the one-surface background composite (see blend.py)."""
+    enables the one-surface background composite (see blend.py).
+
+    `tiled=True` returns every map in the kernel's NATIVE (num_tiles, n_px
+    [, C]) layout instead of (H, W[, C]). The untile is ~12 per-channel 2-D
+    transposes whose VJPs retile the cotangents — ~19 ms/iter of pure
+    layout churn inside the optimize scans (r05 profile); tile-space
+    consumers (the scan losses) skip all of it and feed cotangents to the
+    custom VJP in the layout it already wants."""
     TH = (height + tile_size - 1) // tile_size
     TW = (width + tile_size - 1) // tile_size
 
@@ -706,25 +759,33 @@ def blend_tiles_pallas(pre, b, entry_valid, colors, opacities, num_tiles,
     aux_init = jnp.asarray([-1.0, -1.0, 0.0, 0.0, 1.0, 0.0, 1.0, 0.0],
                            jnp.float32)
     aux = jnp.where(empty, aux_init[None, None, :], aux)
-
-    def untile(x):
-        x = x.reshape(TH, TW, tile_size, tile_size)
-        x = jnp.moveaxis(x, 2, 1).reshape(TH * tile_size, TW * tile_size)
-        return x[:height, :width]
-
     aux = jax.lax.stop_gradient(aux)
-    render = jnp.stack([untile(color[:, :, c]) for c in range(3)], axis=-1)
+
+    if tiled:
+        untile = lambda x: x                           # noqa: E731
+        pick = lambda x, c: x[:, :, c]                 # noqa: E731
+        stack3 = lambda xs: jnp.stack(xs, axis=-1)     # noqa: E731
+        render = color[:, :, 0:3]
+    else:
+        def untile(x):
+            x = x.reshape(TH, TW, tile_size, tile_size)
+            x = jnp.moveaxis(x, 2, 1).reshape(TH * tile_size, TW * tile_size)
+            return x[:height, :width]
+
+        pick = lambda x, c: untile(x[:, :, c])         # noqa: E731
+        stack3 = lambda xs: jnp.stack(xs, axis=-1)     # noqa: E731
+        render = stack3([untile(color[:, :, c]) for c in range(3)])
     return {
         "render": render,
-        "depth": untile(color[:, :, 3]),
-        "normal_c": jnp.stack([untile(color[:, :, 4 + c]) for c in range(3)],
-                              axis=-1),
-        "depth_index_map": jnp.round(untile(aux[:, :, 0])).astype(jnp.int32),
-        "color_index_map": jnp.round(untile(aux[:, :, 1])).astype(jnp.int32),
-        "color_hit_weight": untile(aux[:, :, 2]),
-        "depth_hit_weight": untile(aux[:, :, 3]),
-        "T_map": untile(aux[:, :, 4]),
-        "weight_sum": untile(aux[:, :, 5]),
-        "T_final": untile(aux[:, :, 6]),
+        "depth": pick(color, 3),
+        "normal_c": (color[:, :, 4:7] if tiled else
+                     stack3([untile(color[:, :, 4 + c]) for c in range(3)])),
+        "depth_index_map": jnp.round(pick(aux, 0)).astype(jnp.int32),
+        "color_index_map": jnp.round(pick(aux, 1)).astype(jnp.int32),
+        "color_hit_weight": pick(aux, 2),
+        "depth_hit_weight": pick(aux, 3),
+        "T_map": pick(aux, 4),
+        "weight_sum": pick(aux, 5),
+        "T_final": pick(aux, 6),
         "n_touched_entries": nt[0].astype(jnp.int32),
     }

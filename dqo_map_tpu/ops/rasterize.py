@@ -197,7 +197,7 @@ def compute_binning(means3d: jnp.ndarray, scales: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("settings", "with_normal",
-                                   "with_n_touched"))
+                                   "with_n_touched", "tiled"))
 def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
               opacities: jnp.ndarray, colors: jnp.ndarray, cam: dict,
               settings: RenderSettings,
@@ -206,7 +206,9 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
               valid_mask: Optional[jnp.ndarray] = None,
               with_normal: bool = True,
               with_n_touched: bool = True,
-              binning=None, bg_maps: Optional[dict] = None) -> dict:
+              binning=None, bg_maps: Optional[dict] = None,
+              bg_tiled: Optional[jnp.ndarray] = None,
+              tiled: bool = False) -> dict:
     """Render a view.
 
     means3d (P,3); scales (P,3) ACTIVATED (exp applied); rots (P,4) normalized
@@ -221,6 +223,12 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
     differentiable on both impls: the Pallas kernel routes the depth
     cotangent to the hit entry analytically, the ref blend differentiates
     its own hit-depth math.
+
+    `tiled=True` returns maps in the kernel-native (num_tiles, n_px[,C])
+    layout (see `blend_pallas.blend_tiles_pallas`); `bg_tiled` supplies the
+    one-surface background already in the (num_tiles+1, n_px, NB) layout —
+    the optimize scans precompute it ONCE per scan instead of re-tiling the
+    constant bg maps every iteration.
     """
     H, W = settings.height, settings.width
     pre = preprocess(means3d, scales, rots, cam, settings.color_sigma, W, H,
@@ -254,18 +262,17 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
     impl = _resolve_impl(settings.impl)
     if impl == "pallas":
         from .blend_pallas import blend_tiles_pallas, tile_px_maps
-        bg_tiled = None
-        if bg_maps is not None:
+        if bg_tiled is None and bg_maps is not None:
             bg_tiled = tile_px_maps(
                 [bg_maps["S"], bg_maps["D"], bg_maps["tau"]],
                 settings.tile_size, W, H, num_tiles)
         out = blend_tiles_pallas(
             pre, b, entry_valid, colors, opacities, num_tiles,
             settings.tile_size, W, H, cam["K"], params, settings.bg,
-            max_chunks=max_chunks, bg_tiled=bg_tiled,
+            max_chunks=max_chunks, bg_tiled=bg_tiled, tiled=tiled,
         )
     else:
-        from .blend_pallas import CHUNK
+        from .blend_pallas import CHUNK, untile_map
         feats = gather_entry_feats(
             b.point_list, entry_valid, pre.xy, pre.conic, opacities, colors,
             pre.depth, pre.mean_c, pre.normal_c, pre.scale_max,
@@ -274,12 +281,29 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
         if bg_maps is not None:
             bg_sf = {k: jax.lax.stop_gradient(bg_maps[k])
                      for k in ("S", "D", "tau")}
+        elif bg_tiled is not None:
+            # tiled-bg callers on the ref impl: recover the image maps
+            bts = jax.lax.stop_gradient(bg_tiled[:num_tiles])
+            bg_sf = {
+                "S": untile_map(bts[:, :, 0:3], settings.tile_size, W, H),
+                "D": untile_map(bts[:, :, 3], settings.tile_size, W, H),
+                "tau": untile_map(bts[:, :, 4], settings.tile_size, W, H),
+            }
         out = blend_tiles_ref(
             feats, b.entry_tile, num_tiles, settings.tile_size, W, H,
             cam["K"], params, bg,
             tile_offsets=b.tile_offsets, window=CHUNK * max_chunks,
             bg_surface_maps=bg_sf,
         )
+        if tiled:
+            # the pure-JAX reference blend emits image-space maps; tile
+            # them so tiled-mode consumers see one layout on every impl
+            from .blend_pallas import tile_map
+            ts = settings.tile_size
+            out = {k: (tile_map(v, ts, W, H)
+                       if (hasattr(v, "ndim") and v.ndim >= 2
+                           and v.shape[:2] == (H, W)) else v)
+                   for k, v in out.items()}
 
     # n_touched per gaussian (segment sum over entries) — the scatter-add is
     # expensive on TPU, so it's gated (only USE_PURNE-style pruning reads it)
@@ -307,7 +331,7 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
             R[0, 2] * n0 + R[1, 2] * n1 + R[2, 2] * n2,
         ], axis=-1)
     else:
-        out["normal"] = jnp.zeros((H, W, 3), jnp.float32)
+        out["normal"] = jnp.zeros(nc.shape, jnp.float32)
 
     out["dropped_entries"] = b.dropped
     out["tile_dropped"] = b.tile_dropped

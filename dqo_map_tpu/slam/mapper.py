@@ -361,6 +361,9 @@ def _compact_optimize_scan(state: MapState, row_mask: jnp.ndarray,
         pixel inside the loss mask and receive zero gradient.
     """
     weights = dict(weights) if not isinstance(weights, dict) else weights
+    # the scan's loss runs in tile space; SSIM needs image-space 2-D
+    # structure and belongs to the final `_optimize_scan` pass only
+    assert not use_ssim, "compact scan is tile-space; ssim unsupported here"
     cap = state.capacity
     n_u = jnp.sum(row_mask)
     uidx = jnp.nonzero(row_mask, size=ubucket, fill_value=cap - 1)[0]
@@ -378,9 +381,35 @@ def _compact_optimize_scan(state: MapState, row_mask: jnp.ndarray,
         count=jnp.minimum(n_u, ubucket).astype(jnp.int32),
     )
 
-    from .renderer import compute_binning_state, render_color_pass
+    from ..ops.blend_pallas import pack_bg_tiled, tile_map
+    from .renderer import compute_binning_state, render_state as _rs
     F = frames["w2c"].shape[0]
-    bg_list, bin_list, bg_sem_list = [], [], []
+    ts = settings.tile_size
+    W_, H_ = settings.width, settings.height
+
+    # The whole scan runs in TILE SPACE (kernel-native (T, n_px) layout):
+    # the image-space path paid ~12 per-channel untile transposes per render
+    # plus their retiling VJPs through the loss — ~19 ms/iter of layout
+    # churn (r05 profile) — and re-tiled the CONSTANT background maps every
+    # iteration (~16 ms/iter more). GT maps tile once per scan here.
+    def _t(x):
+        return tile_map(x, ts, W_, H_)
+
+    gt_tiled = {
+        "color": jnp.stack([_t(frames["color"][f]) for f in range(F)]),
+        "depth": jnp.stack([_t(frames["depth"][f]) for f in range(F)]),
+        "normal": jnp.stack([_t(frames["normal"][f]) for f in range(F)]),
+        "render_mask": jnp.stack(
+            [_t(frames["render_mask"][f]) for f in range(F)]),
+    }
+    if with_semantics:
+        gt_tiled["semantics_color"] = jnp.stack(
+            [_t(frames["semantics_color"][f]) for f in range(F)])
+    if "instance_img" in frames:
+        gt_tiled["instance_img"] = jnp.stack(
+            [_t(frames["instance_img"][f]) for f in range(F)])
+
+    bg_list, bin_list, bg_sem_list, bgt_list = [], [], [], []
     bg_dropped = jnp.int32(0)
     for f in range(F):
         cam_f = {
@@ -391,8 +420,8 @@ def _compact_optimize_scan(state: MapState, row_mask: jnp.ndarray,
         }
         tm_f = frames["tile_mask"][f]
         if use_bg:
-            bg = render_state(state, cam_f, settings, "stable", tm_f,
-                              bucket=bucket)
+            bg = _rs(state, cam_f, settings, "stable", tm_f,
+                     bucket=bucket, tiled=True)
             bg_dropped = jnp.maximum(bg_dropped, bg["dropped_entries"])
             bg_list.append({
                 "render": jax.lax.stop_gradient(bg["render"]),
@@ -400,19 +429,40 @@ def _compact_optimize_scan(state: MapState, row_mask: jnp.ndarray,
                 "normal": jax.lax.stop_gradient(bg["normal"]),
                 "depth_index_map": bg["depth_index_map"],
                 "T_map": jax.lax.stop_gradient(bg["T_map"]),
-                "T_final": jax.lax.stop_gradient(bg["T_final"]),
             })
+            # one-surface kernel operand, packed ONCE per scan
+            bgt_list.append(pack_bg_tiled(
+                jax.lax.stop_gradient(bg["render"]),
+                jnp.where(bg["depth_index_map"] >= 0,
+                          jax.lax.stop_gradient(bg["depth"]),
+                          jnp.float32(1e30)),
+                jax.lax.stop_gradient(bg["T_final"])))
             if with_semantics:
-                bg_sem_list.append(jax.lax.stop_gradient(render_color_pass(
-                    state, cam_f, settings, state.sem_rgb, "stable",
-                    bucket=bucket)))
+                sem_bg = _rs(jax.tree.map(jax.lax.stop_gradient, state),
+                             cam_f, settings, "stable",
+                             colors_precomp=state.sem_rgb, bucket=bucket,
+                             tiled=True)["render"]
+                bg_sem_list.append(jax.lax.stop_gradient(sem_bg))
+                bgt_list[-1] = (bgt_list[-1], pack_bg_tiled(
+                    bg_sem_list[-1],
+                    jnp.where(bg["depth_index_map"] >= 0,
+                              jax.lax.stop_gradient(bg["depth"]),
+                              jnp.float32(1e30)),
+                    jax.lax.stop_gradient(bg["T_final"])))
         bin_list.append(compute_binning_state(sub, cam_f, usettings,
                                               "global", tm_f))
     bgs = (jax.tree.map(lambda *xs: jnp.stack(xs), *bg_list)
            if use_bg else None)
     binnings = jax.tree.map(lambda *xs: jnp.stack(xs), *bin_list)
-    bg_sems = (jnp.stack(bg_sem_list) if (with_semantics and use_bg)
-               else None)
+    if use_bg:
+        if with_semantics:
+            bgts = jnp.stack([x[0] for x in bgt_list])
+            bgts_sem = jnp.stack([x[1] for x in bgt_list])
+        else:
+            bgts = jnp.stack(bgt_list)
+            bgts_sem = None
+    else:
+        bgts = bgts_sem = None
 
     params = get_params(sub)
     init_stat = {
@@ -434,29 +484,24 @@ def _compact_optimize_scan(state: MapState, row_mask: jnp.ndarray,
         }
         binning = jax.tree.map(lambda x: x[fidx], binnings)
         bg = (jax.tree.map(lambda x: x[fidx], bgs) if use_bg else None)
+        bgt = bgts[fidx] if use_bg else None
+        # tile-space GT slices (tiled once per scan, see above)
         image_input = {
-            "color_map": frames["color"][fidx],
-            "depth_map": frames["depth"][fidx],
-            "normal_map": frames["normal"][fidx],
-            "render_mask": frames["render_mask"][fidx],
+            "color_map": gt_tiled["color"][fidx],
+            "depth_map": gt_tiled["depth"][fidx],
+            "normal_map": gt_tiled["normal"][fidx],
+            "render_mask": gt_tiled["render_mask"][fidx],
         }
         if with_semantics:
-            image_input["semantics_color"] = frames["semantics_color"][fidx]
+            image_input["semantics_color"] = \
+                gt_tiled["semantics_color"][fidx]
         if "instance_img" in frames:
-            image_input["instance_img"] = frames["instance_img"][fidx]
+            image_input["instance_img"] = gt_tiled["instance_img"][fidx]
 
         def loss_fn(p):
             st = set_params(sub, p)
-            # surface depth: the bg hit depth; pixels where the stable
-            # content never produced an opaque hit take D=inf (surface
-            # composites behind everything — no front entry is attenuated)
-            bgm = ({"S": bg["render"],
-                    "D": jnp.where(bg["depth_index_map"] >= 0, bg["depth"],
-                                   jnp.float32(1e30)),
-                    "tau": bg["T_final"]}
-                   if use_bg else None)
             u = render_state(st, cam, usettings, "global", binning=binning,
-                            bg_maps=bgm)
+                             bg_tiled=bgt, tiled=True)
             T_u = u["T_map"]
             if use_bg:
                 # color already carries the one-surface background composite
@@ -482,19 +527,16 @@ def _compact_optimize_scan(state: MapState, row_mask: jnp.ndarray,
                 out = u
             sem = None
             if with_semantics:
-                sem_bgm = ({"S": bg_sem,
-                            "D": jnp.where(bg["depth_index_map"] >= 0,
-                                           bg["depth"], jnp.float32(1e30)),
-                            "tau": bg["T_final"]} if use_bg else None)
                 sem = render_state(st, cam, usettings, "global",
                                    colors_precomp=p["sem_rgb"],
                                    binning=binning,
-                                   bg_maps=sem_bgm)["render"]
+                                   bg_tiled=(bgts_sem[fidx] if use_bg
+                                             else None),
+                                   tiled=True)["render"]
             return compute_loss(out, image_input, p, init_stat, valid_u,
                                 weights, add_depth_thres, use_ssim,
                                 sem_render=sem)
 
-        bg_sem = (bg_sems[fidx] if (with_semantics and use_bg) else None)
         (loss, report), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         params, opt_state = adam_update(params, grads, opt_state, lrs, valid_u)
         grad_mask = jnp.any(jnp.abs(grads["sh"][:, 0, :]) != 0, axis=-1)

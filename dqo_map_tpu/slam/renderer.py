@@ -156,7 +156,8 @@ def render_state(state: MapState, cam_inputs: dict, settings: RenderSettings,
                  colors_precomp: Optional[jnp.ndarray] = None,
                  bucket: Optional[int] = None,
                  with_n_touched: bool = False,
-                 binning=None, bg_maps: Optional[dict] = None) -> dict:
+                 binning=None, bg_maps: Optional[dict] = None,
+                 bg_tiled=None, tiled: bool = False) -> dict:
     """Render a MapState subset.
 
     `bucket` is a STATIC PREFIX length: `add_points` packs alive slots below
@@ -195,7 +196,7 @@ def render_state(state: MapState, cam_inputs: dict, settings: RenderSettings,
             colors, cam_inputs, settings,
             tile_mask=tile_mask,
             valid_mask=sl(valid), with_n_touched=with_n_touched,
-            binning=binning, bg_maps=bg_maps,
+            binning=binning, bg_maps=bg_maps, bg_tiled=bg_tiled, tiled=tiled,
         )
         if with_n_touched:
             out["n_touched"] = jnp.zeros(cap, jnp.int32).at[:bucket].set(
@@ -212,6 +213,7 @@ def render_state(state: MapState, cam_inputs: dict, settings: RenderSettings,
         state.get_opacity(), colors, cam_inputs, settings,
         tile_mask=tile_mask, valid_mask=valid,
         with_n_touched=with_n_touched, binning=binning, bg_maps=bg_maps,
+        bg_tiled=bg_tiled, tiled=tiled,
     )
     out["bucket_overflow"] = jnp.asarray(False)
     return out
