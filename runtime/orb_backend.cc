@@ -528,6 +528,81 @@ struct Keyframe {
   Pose pose;                  // T_world<-cam (refined by local BA)
   std::vector<Vec3> p3d_cam;  // per-keypoint CAMERA-frame 3D (BA observations)
   std::vector<int> mp;        // per-keypoint map-point id (-1 = none)
+  uint32_t uid = 0;           // monotone id (stable across evictions)
+};
+
+// ------------------------------------------------- coarse binary vocabulary
+// DBoW2 capability slot (reference: ORB-SLAM2-PYBIND/src/LoopClosing.cc
+// scores loop candidates through a prebuilt ORB vocabulary + inverted
+// file). Re-derived without offline training as bit-sampling LSH: each
+// descriptor hashes to one word per table (LSH_BITS sampled bit positions),
+// and per-word postings of keyframe uids turn candidate scoring into
+// posting-list vote counting — ~O(sum |postings|) per query instead of the
+// exact descriptor-set scan's O(keyframes x descriptors) Hamming sweep.
+// The exact scan still runs, but only on the few top-voted candidates.
+constexpr int kLshTables = 4, kLshBits = 13;
+struct LoopIndex {
+  std::vector<std::vector<uint32_t>> postings[kLshTables];
+  uint8_t bitpos[kLshTables][kLshBits];
+  size_t entries = 0;
+  LoopIndex() {
+    uint64_t rng = 0x9E3779B97F4A7C15ull;
+    for (int t = 0; t < kLshTables; ++t) {
+      postings[t].assign((size_t)1 << kLshBits, {});
+      for (int b = 0; b < kLshBits; ++b) {
+        rng ^= rng << 13;
+        rng ^= rng >> 7;
+        rng ^= rng << 17;
+        bitpos[t][b] = (uint8_t)(rng % 256);
+      }
+    }
+  }
+  uint32_t word(const uint64_t *d, int t) const {
+    uint32_t w = 0;
+    for (int b = 0; b < kLshBits; ++b) {
+      int p = bitpos[t][b];
+      w = (w << 1) | (uint32_t)((d[p >> 6] >> (p & 63)) & 1u);
+    }
+    return w;
+  }
+  void add(const Frame &f, uint32_t uid) {
+    for (size_t i = 0; i < f.kps.size(); ++i) {
+      const uint64_t *d = f.desc.data() + 4 * i;
+      for (int t = 0; t < kLshTables; ++t) {
+        auto &p = postings[t][word(d, t)];
+        if (p.empty() || p.back() != uid) {
+          p.push_back(uid);
+          ++entries;
+        }
+      }
+    }
+  }
+  // drop posting entries below base_uid once enough dead weight accumulates
+  void maybe_purge(uint32_t base_uid, size_t live_kfs) {
+    if (entries < live_kfs * 600 * kLshTables * 2) return;
+    size_t kept = 0;
+    for (int t = 0; t < kLshTables; ++t)
+      for (auto &p : postings[t]) {
+        size_t w = 0;
+        for (size_t r = 0; r < p.size(); ++r)
+          if (p[r] >= base_uid) p[w++] = p[r];
+        p.resize(w);
+        kept += w;
+      }
+    entries = kept;
+  }
+  // votes[uid - base] += 1 per (query descriptor, table) collision
+  void vote(const Frame &q, uint32_t base_uid, std::vector<int> &votes) const {
+    for (size_t i = 0; i < q.kps.size(); ++i) {
+      const uint64_t *d = q.desc.data() + 4 * i;
+      for (int t = 0; t < kLshTables; ++t) {
+        const auto &p = postings[t][word(d, t)];
+        for (uint32_t u : p)
+          if (u >= base_uid && (size_t)(u - base_uid) < votes.size())
+            ++votes[u - base_uid];
+      }
+    }
+  }
 };
 
 // Persistent landmark: the reference backend's MapPoint tier
@@ -547,6 +622,9 @@ struct Tracker {
   bool has_prev = false, has_pending = false;
   std::vector<Keyframe> kfs;
   std::vector<MapPoint> mps;    // persistent landmarks (local-BA state)
+  LoopIndex loop_index;         // DBoW2-slot inverted file over kf uids
+  uint32_t next_uid = 0;        // uid of the next keyframe
+  uint32_t base_uid = 0;        // uid of kfs[0]
   Pose last_kf_pose;            // pose of last inserted keyframe
   int frames_since_kf = 0;
   int last_kf_inliers = -1;
@@ -873,6 +951,8 @@ struct Tracker {
 
   // keyframe-store eviction with landmark-index remapping
   void evict_old(int drop) {
+    base_uid += (uint32_t)drop;
+    loop_index.maybe_purge(base_uid, kfs.size());
     kfs.erase(kfs.begin(), kfs.begin() + drop);
     for (auto &mp : mps) {
       std::vector<std::pair<int, int>> kept;
@@ -931,13 +1011,18 @@ struct Tracker {
         }
       }
       kf.pose = pose_w;
+      kf.uid = next_uid++;
       int kfi = (int)kfs.size();
       associate_mappoints(kf, kfi);
+      loop_index.add(kf.frame, kf.uid);
       kfs.push_back(std::move(kf));
       last_kf_pose = pose_w;
       frames_since_kf = 0;
       local_ba(5, 3);
-      if (kfs.size() > 256) evict_old(64);
+      // the vocabulary index keeps candidate scoring ~flat in keyframe
+      // count, so the store can hold 4x the keyframes the exact-scan
+      // version could afford (long loops stay closable)
+      if (kfs.size() > 1024) evict_old(128);
     }
     has_pending = false;
   }
@@ -959,6 +1044,27 @@ struct Tracker {
   // and the measured relative pose T_{cand_cam <- query_cam}, which becomes
   // the loop edge of the host-side pose graph (slam/pose_graph.py — the g2o
   // EssentialGraph optimization slot).
+  // exact descriptor-set similarity for ONE candidate (fraction of sampled
+  // query descriptors with a sub-threshold best Hamming match)
+  double exact_score(const Keyframe &q, int c) {
+    const Frame &f = kfs[(size_t)c].frame;
+    if ((int)f.kps.size() < 30) return 0.0;
+    int nq = (int)q.frame.kps.size();
+    int ns = nq < 64 ? nq : 64;
+    int stride = nq / ns;
+    int hits = 0;
+    for (int si = 0; si < ns; ++si) {
+      const uint64_t *dq = q.frame.desc.data() + 4 * (size_t)(si * stride);
+      int bestd = 257;
+      for (size_t j = 0; j < f.kps.size(); ++j) {
+        int d = hamming(dq, f.desc.data() + 4 * j);
+        if (d < bestd) bestd = d;
+      }
+      if (bestd < 48) ++hits;
+    }
+    return (double)hits / ns;
+  }
+
   int detect_loop(int min_gap, int min_inliers, int *q_idx, int *m_idx,
                   double *rel16) {
     int N = (int)kfs.size();
@@ -967,25 +1073,40 @@ struct Tracker {
     int nq = (int)q.frame.kps.size();
     if (nq < 30) return 0;
 
-    // sample up to 64 query descriptors evenly
-    int ns = nq < 64 ? nq : 64;
-    int stride = nq / ns;
+    // stage 1 — vocabulary vote (inverted file): ~O(sum posting lengths),
+    // flat-ish in keyframe count, replacing the exact Hamming sweep over
+    // every stored keyframe (the DBoW2 candidate-scoring role)
+    std::vector<int> votes((size_t)N, 0);
+    loop_index.vote(q.frame, base_uid, votes);
+    int limit = N - 1 - min_gap;
+    // top-5 voted candidates within the temporal gap
+    constexpr int kTop = 5;
+    int top_idx[kTop];
+    int top_v[kTop];
+    for (int k = 0; k < kTop; ++k) {
+      top_idx[k] = -1;
+      top_v[k] = 0;
+    }
+    for (int c = 0; c < limit; ++c) {
+      int v = votes[(size_t)c];
+      if (v <= top_v[kTop - 1]) continue;
+      int k = kTop - 1;
+      while (k > 0 && top_v[k - 1] < v) {
+        top_v[k] = top_v[k - 1];
+        top_idx[k] = top_idx[k - 1];
+        --k;
+      }
+      top_v[k] = v;
+      top_idx[k] = c;
+    }
+
+    // stage 2 — exact rescoring of the shortlisted candidates only
     int best_c = -1;
     double best_score = 0.35;  // detection threshold (fraction matched)
-    for (int c = 0; c < N - 1 - min_gap; ++c) {
-      const Frame &f = kfs[(size_t)c].frame;
-      if ((int)f.kps.size() < 30) continue;
-      int hits = 0;
-      for (int si = 0; si < ns; ++si) {
-        const uint64_t *dq = q.frame.desc.data() + 4 * (size_t)(si * stride);
-        int bestd = 257;
-        for (size_t j = 0; j < f.kps.size(); ++j) {
-          int d = hamming(dq, f.desc.data() + 4 * j);
-          if (d < bestd) bestd = d;
-        }
-        if (bestd < 48) ++hits;
-      }
-      double score = (double)hits / ns;
+    for (int k = 0; k < kTop; ++k) {
+      int c = top_idx[k];
+      if (c < 0 || top_v[k] < nq / 8) continue;
+      double score = exact_score(q, c);
       if (score > best_score) {
         best_score = score;
         best_c = c;
