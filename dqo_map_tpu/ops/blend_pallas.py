@@ -111,7 +111,7 @@ def _tile_pixels(t, tw, tile_size, scal):
     return px, py, rx * inv, ry * inv, inv
 
 
-def _alpha_w(f, px, py, T_carry, T_threshold):
+def _alpha_w(f, px, py, T_carry, T_threshold, chunk=CHUNK):
     """Shared fwd/bwd recurrence for one chunk.
 
     f: (NF, K) feature block; px/py: (n_px, 1); T_carry: (n_px, 1) prefix
@@ -133,7 +133,7 @@ def _alpha_w(f, px, py, T_carry, T_threshold):
     T_prev = test_T / one_m
     contrib = (~skip) & (test_T >= T_threshold)
     w = jnp.where(contrib, alpha * T_prev, 0.0)
-    T_next = T_carry * within[:, CHUNK - 1:CHUNK]
+    T_next = T_carry * within[:, chunk - 1:chunk]
     return dict(dx=dx, dy=dy, G=G, alpha=alpha, alpha_raw=alpha_raw,
                 skip=skip, one_m=one_m, test_T=test_T, T_prev=T_prev,
                 contrib=contrib, w=w, T_next=T_next)
@@ -151,7 +151,7 @@ NB = 8               # per-pixel background-surface channels: S rgb, D, tau
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(block_tile_ref, scal_ref, f_ref, *rest, tw, tile_size,
-                params: BlendParams, bg, with_bg=False):
+                params: BlendParams, bg, with_bg=False, chunk=CHUNK):
     if with_bg:
         bgt_ref, color_ref, aux_ref, nt_ref, state = rest
     else:
@@ -166,7 +166,7 @@ def _fwd_kernel(block_tile_ref, scal_ref, f_ref, *rest, tw, tile_size,
         bidx + 1 >= pl.num_programs(0),
         block_tile_ref[jnp.minimum(bidx + 1, pl.num_programs(0) - 1)] != t)
     active = t >= 0
-    nt_ref[0:1, :] = jnp.zeros((1, CHUNK), jnp.float32)
+    nt_ref[0:1, :] = jnp.zeros((1, chunk), jnp.float32)
 
     @pl.when(is_first & active)
     def _init():
@@ -189,7 +189,7 @@ def _fwd_kernel(block_tile_ref, scal_ref, f_ref, *rest, tw, tile_size,
         px, py, rx, ry, rz = _tile_pixels(t, tw, tile_size, scal_ref)
         f = f_ref[:, :]
         T_carry = state[:, S_T:S_T + 1]
-        a = _alpha_w(f, px, py, T_carry, params.T_threshold)
+        a = _alpha_w(f, px, py, T_carry, params.T_threshold, chunk)
         w, test_T, contrib = a["w"], a["test_T"], a["contrib"]
         if with_bg:
             # one-surface background model: entries behind the surface are
@@ -204,7 +204,7 @@ def _fwd_kernel(block_tile_ref, scal_ref, f_ref, *rest, tw, tile_size,
                           0.0, w * jnp.where(behind, tau, 1.0))
             within_front = _cumprod_lanes(
                 jnp.where(behind, 1.0, a["one_m"]))
-            T_front = T_carry * within_front[:, CHUNK - 1:CHUNK]
+            T_front = T_carry * within_front[:, chunk - 1:chunk]
             has_behind = jnp.max(behind.astype(jnp.float32), axis=1,
                                  keepdims=True)
             crossed0 = state[:, S_CROSS:S_CROSS + 1]
@@ -236,7 +236,7 @@ def _fwd_kernel(block_tile_ref, scal_ref, f_ref, *rest, tw, tile_size,
         # first-max color contributor (strict >, earliest max wins)
         kidx = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
         cw = jnp.max(w, axis=1, keepdims=True)
-        ksel = jnp.min(jnp.where(w >= cw, kidx, CHUNK), axis=1, keepdims=True)
+        ksel = jnp.min(jnp.where(w >= cw, kidx, chunk), axis=1, keepdims=True)
         onehot = (kidx == ksel).astype(jnp.float32)
         cid = jax.lax.dot_general(
             onehot, f[14:15, :], (((1,), (1,)), ((), ())),
@@ -265,9 +265,9 @@ def _fwd_kernel(block_tile_ref, scal_ref, f_ref, *rest, tw, tile_size,
         def _hits():
             eligible = (~a["skip"]) & (
                 a["alpha_raw"] >= params.opaque_threshold)
-            esel = jnp.min(jnp.where(eligible, kidx, CHUNK), axis=1,
+            esel = jnp.min(jnp.where(eligible, kidx, chunk), axis=1,
                            keepdims=True)
-            chunk_has = (esel < CHUNK).astype(jnp.float32)
+            chunk_has = (esel < chunk).astype(jnp.float32)
             efirst = (kidx == esel) & eligible
             fsel = efirst.astype(jnp.float32)
 
@@ -338,7 +338,7 @@ def _fwd_kernel(block_tile_ref, scal_ref, f_ref, *rest, tw, tile_size,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(block_tile_ref, scal_ref, f_ref, *rest, tw, tile_size,
-                params: BlendParams, bg, with_bg=False):
+                params: BlendParams, bg, with_bg=False, chunk=CHUNK):
     if with_bg:
         bgt_ref, dpix_ref, color_ref, aux_ref, dent_ref, sstate = rest
     else:
@@ -350,7 +350,7 @@ def _bwd_kernel(block_tile_ref, scal_ref, f_ref, *rest, tw, tile_size,
     is_first = jnp.logical_or(
         bidx == 0, block_tile_ref[jnp.maximum(bidx - 1, 0)] != t)
     active = t >= 0
-    dent_ref[:, :] = jnp.zeros((NG, CHUNK), jnp.float32)
+    dent_ref[:, :] = jnp.zeros((NG, chunk), jnp.float32)
 
     @pl.when(is_first & active)
     def _init():
@@ -422,7 +422,7 @@ def _bwd_kernel(block_tile_ref, scal_ref, f_ref, *rest, tw, tile_size,
         )
 
         T_carry = sstate[:, 0:1]
-        a = _alpha_w(f, px, py, T_carry, params.T_threshold)
+        a = _alpha_w(f, px, py, T_carry, params.T_threshold, chunk)
         w, T_prev, contrib = a["w"], a["T_prev"], a["contrib"]
 
         # cd = sum_c dpix_c * color_c per (pixel, entry)
@@ -439,7 +439,7 @@ def _bwd_kernel(block_tile_ref, scal_ref, f_ref, *rest, tw, tile_size,
             w = w * tfac
             within_front = _cumprod_lanes(
                 jnp.where(behind, 1.0, a["one_m"]))
-            T_front = T_carry * within_front[:, CHUNK - 1:CHUNK]
+            T_front = T_carry * within_front[:, chunk - 1:chunk]
             sdot = (bgt_ref[0, :, 0:1] * d0 + bgt_ref[0, :, 1:2] * d1
                     + bgt_ref[0, :, 2:3] * d2) * T_front
             has_behind = jnp.max(behind.astype(jnp.float32), axis=1,
@@ -485,11 +485,11 @@ def _bwd_kernel(block_tile_ref, scal_ref, f_ref, *rest, tw, tile_size,
             # carry: cumulative dot prefix incl. the surface term exactly
             # once after the crossing; crossed flag persists
             sstate[:, 1:2] = (sstate[:, 1:2]
-                              + _cumsum_lanes(wcd)[:, CHUNK - 1:CHUNK]
+                              + _cumsum_lanes(wcd)[:, chunk - 1:chunk]
                               + new_cross * sdot)
             sstate[:, 2:3] = jnp.maximum(sstate[:, 2:3], has_behind)
         else:
-            sstate[:, 1:2] = prefix_incl[:, CHUNK - 1:CHUNK]
+            sstate[:, 1:2] = prefix_incl[:, chunk - 1:chunk]
 
 
 # ---------------------------------------------------------------------------
@@ -504,21 +504,21 @@ def _grid_arg(nb, n_blocks_static):
 
 
 def _fwd_call(feats, block_tile, nb, scal, bgt, num_tiles, tile_size, tw,
-              params, bg, with_bg):
+              params, bg, with_bg, chunk):
     """Grid is 1-D over the `nb` USED entry blocks (traced — the static
     entry_cap tail is never visited); per-block tile ownership arrives via
     the scalar-prefetched `block_tile` array (sentinel -1 for unused blocks,
     only reachable in interpret mode's static grid). Empty tiles get their
     init values pasted by the caller afterwards."""
     n_px = tile_size * tile_size
-    n_blocks = feats.shape[1] // CHUNK
+    n_blocks = feats.shape[1] // chunk
 
     def out_index(b, bt, scal_):
         t = bt[b]
         return (jnp.where(t >= 0, t, num_tiles), 0, 0)
 
     in_specs = [
-        pl.BlockSpec((NF, CHUNK), lambda b, *_: (0, b),
+        pl.BlockSpec((NF, chunk), lambda b, *_: (0, b),
                      memory_space=pltpu.VMEM),
     ]
     operands = [feats]
@@ -533,14 +533,14 @@ def _fwd_call(feats, block_tile, nb, scal, bgt, num_tiles, tile_size, tw,
         out_specs=[
             pl.BlockSpec((1, n_px, NC), out_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_px, NA), out_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CHUNK), lambda b, *_: (0, b),
+            pl.BlockSpec((1, chunk), lambda b, *_: (0, b),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((n_px, NS), jnp.float32)],
     )
     kernel = functools.partial(
         _fwd_kernel, tw=tw, tile_size=tile_size, params=params, bg=bg,
-        with_bg=with_bg)
+        with_bg=with_bg, chunk=chunk)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -553,34 +553,35 @@ def _fwd_call(feats, block_tile, nb, scal, bgt, num_tiles, tile_size, tw,
     )(block_tile, scal, *operands)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _blend_core(feats, block_tile, nb, scal, bgt, num_tiles, tile_size, tw,
-                params, bg, with_bg):
+                params, bg, with_bg, chunk=CHUNK):
     color, aux, nt = _fwd_call(feats, block_tile, nb, scal, bgt, num_tiles,
-                               tile_size, tw, params, bg, with_bg)
+                               tile_size, tw, params, bg, with_bg, chunk)
     return color, aux, nt
 
 
 def _blend_core_fwd(feats, block_tile, nb, scal, bgt, num_tiles, tile_size,
-                    tw, params, bg, with_bg):
+                    tw, params, bg, with_bg, chunk=CHUNK):
     color, aux, nt = _fwd_call(feats, block_tile, nb, scal, bgt, num_tiles,
-                               tile_size, tw, params, bg, with_bg)
+                               tile_size, tw, params, bg, with_bg, chunk)
     return (color, aux, nt), (feats, block_tile, nb, scal, bgt, color, aux)
 
 
-def _blend_core_bwd(num_tiles, tile_size, tw, params, bg, with_bg, res, cts):
+def _blend_core_bwd(num_tiles, tile_size, tw, params, bg, with_bg, chunk,
+                    res, cts):
     feats, block_tile, nb, scal, bgt, color, aux = res
     dcolor, _daux, _dnt = cts
     n_px = tile_size * tile_size
     Lp = feats.shape[1]
-    n_blocks = Lp // CHUNK
+    n_blocks = Lp // chunk
 
     def px_index(b, bt, scal_):
         t = bt[b]
         return (jnp.where(t >= 0, t, num_tiles), 0, 0)
 
     in_specs = [
-        pl.BlockSpec((NF, CHUNK), lambda b, *_: (0, b),
+        pl.BlockSpec((NF, chunk), lambda b, *_: (0, b),
                      memory_space=pltpu.VMEM),
     ]
     operands = [feats]
@@ -598,14 +599,14 @@ def _blend_core_bwd(num_tiles, tile_size, tw, params, bg, with_bg, res, cts):
         grid=(_grid_arg(nb, n_blocks),),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((NG, CHUNK), lambda b, *_: (0, b),
+            pl.BlockSpec((NG, chunk), lambda b, *_: (0, b),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((n_px, 8), jnp.float32)],
     )
     kernel = functools.partial(
         _bwd_kernel, tw=tw, tile_size=tile_size, params=params, bg=bg,
-        with_bg=with_bg)
+        with_bg=with_bg, chunk=chunk)
     dent = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -718,7 +719,7 @@ def tile_px_maps(maps: list, tile_size: int, width: int, height: int,
 def blend_tiles_pallas(pre, b, entry_valid, colors, opacities, num_tiles,
                        tile_size, width, height, K, params: BlendParams, bg,
                        max_chunks: int = 32, bg_tiled=None,
-                       tiled: bool = False):
+                       tiled: bool = False, chunk: int = CHUNK):
     """Drop-in twin of `blend.blend_tiles_ref` backed by the Pallas kernels.
 
     `bg_tiled` ((num_tiles+1, n_px, NB), from `tile_px_maps([S, D, tau])`)
@@ -742,7 +743,7 @@ def blend_tiles_pallas(pre, b, entry_valid, colors, opacities, num_tiles,
            else jnp.zeros((1, 1, NB), jnp.float32))
     color, aux, nt = _blend_core(
         feats, block_tile, b.num_blocks, scal, bgt, num_tiles, tile_size, TW,
-        params, bg_static, with_bg,
+        params, bg_static, with_bg, chunk,
     )
     color = color[:num_tiles]
     aux = aux[:num_tiles]

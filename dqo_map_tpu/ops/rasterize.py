@@ -51,6 +51,16 @@ class RenderSettings(NamedTuple):
     scale_modifier: float = 1.0
     bg: tuple = (0.0, 0.0, 0.0)
     impl: str = "auto"                      # auto | ref | pallas
+    chunk: int = 0                          # entries/block + layout align;
+                                            # 0 = module default (DQO_CHUNK).
+                                            # 128 suits sparse unstable
+                                            # scans (~100 entries/tile: 61%
+                                            # padding at 256 -> 22% at 128);
+                                            # 256 suits dense global renders
+
+    def chunk_(self) -> int:
+        from .blend_pallas import CHUNK
+        return self.chunk or CHUNK
 
     @staticmethod
     def from_args(width, height, args) -> "RenderSettings":
@@ -87,15 +97,15 @@ def entry_budget(P_stat: int, settings: RenderSettings):
     case (their cap is cheap; the tight budget would starve them — every
     occupied tile pads a full chunk).
     """
-    from .blend_pallas import CHUNK
+    ck = settings.chunk_()
     TH0, TW0 = binning_mod.tile_grid_size(
         settings.width, settings.height, settings.tile_size)
-    worst = P_stat * settings.max_tiles_per_gaussian + TH0 * TW0 * CHUNK
-    budget = P_stat * settings.entries_per_gaussian + TH0 * TW0 * (CHUNK // 2)
+    worst = P_stat * settings.max_tiles_per_gaussian + TH0 * TW0 * ck
+    budget = P_stat * settings.entries_per_gaussian + TH0 * TW0 * (ck // 2)
     budget = max(budget, min(worst, 1 << 16))
     entry_cap = min(settings.entry_cap, worst, budget)
-    entry_cap = ((entry_cap + CHUNK - 1) // CHUNK) * CHUNK
-    max_chunks = max(1, min(settings.max_chunks_per_tile, entry_cap // CHUNK))
+    entry_cap = ((entry_cap + ck - 1) // ck) * ck
+    max_chunks = max(1, min(settings.max_chunks_per_tile, entry_cap // ck))
     return entry_cap, max_chunks
 
 
@@ -182,7 +192,6 @@ def compute_binning(means3d: jnp.ndarray, scales: jnp.ndarray,
     still evaluates alpha from the CURRENT xy/conic, so a cached binning
     only means a slightly stale tile assignment / depth order while the
     geometry drifts during optimization."""
-    from .blend_pallas import CHUNK
     H, W = settings.height, settings.width
     pre = preprocess(means3d, scales, rots, cam, settings.color_sigma, W, H,
                      settings.scale_modifier)
@@ -192,7 +201,8 @@ def compute_binning(means3d: jnp.ndarray, scales: jnp.ndarray,
     entry_cap, max_chunks = entry_budget(means3d.shape[0], settings)
     return binning_mod.bin_gaussians(
         pre, W, H, settings.tile_size, settings.max_tiles_per_gaussian,
-        tile_mask, align=CHUNK, entry_cap=entry_cap, max_chunks=max_chunks,
+        tile_mask, align=settings.chunk_(), entry_cap=entry_cap,
+        max_chunks=max_chunks,
     )
 
 
@@ -239,10 +249,9 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
 
     entry_cap, max_chunks = entry_budget(means3d.shape[0], settings)
     if binning is None:
-        from .blend_pallas import CHUNK
         b = binning_mod.bin_gaussians(
             pre, W, H, settings.tile_size, settings.max_tiles_per_gaussian,
-            tile_mask, align=CHUNK, entry_cap=entry_cap,
+            tile_mask, align=settings.chunk_(), entry_cap=entry_cap,
             max_chunks=max_chunks,
         )
     else:
@@ -270,9 +279,10 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
             pre, b, entry_valid, colors, opacities, num_tiles,
             settings.tile_size, W, H, cam["K"], params, settings.bg,
             max_chunks=max_chunks, bg_tiled=bg_tiled, tiled=tiled,
+            chunk=settings.chunk_(),
         )
     else:
-        from .blend_pallas import CHUNK, untile_map
+        from .blend_pallas import untile_map
         feats = gather_entry_feats(
             b.point_list, entry_valid, pre.xy, pre.conic, opacities, colors,
             pre.depth, pre.mean_c, pre.normal_c, pre.scale_max,
@@ -292,7 +302,8 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
         out = blend_tiles_ref(
             feats, b.entry_tile, num_tiles, settings.tile_size, W, H,
             cam["K"], params, bg,
-            tile_offsets=b.tile_offsets, window=CHUNK * max_chunks,
+            tile_offsets=b.tile_offsets,
+            window=settings.chunk_() * max_chunks,
             bg_surface_maps=bg_sf,
         )
         if tiled:

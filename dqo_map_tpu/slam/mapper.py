@@ -1004,9 +1004,12 @@ class Mapping:
             self.base_settings.entry_cap)
         self._local_R = int(getattr(args, "local_max_tiles_per_gaussian", 8)
                             or 8)
+        # chunk=128 for the sparse unstable scans: ~100 entries/tile means
+        # 61% lane padding at 256; 128 cuts blend fwd+bwd ~15% and HALVES
+        # the aligned demand the static pack cap must cover (r05 receipts)
         self.usettings = self.base_settings._replace(
             entry_cap=self.uentry_rung,
-            max_tiles_per_gaussian=self._local_R)
+            max_tiles_per_gaussian=self._local_R, chunk=128)
         # compact global-optimize entry rung (sized post-hoc per keyframe
         # event; starts generous to avoid first-event truncation)
         self.gentry_rung = min(
@@ -1210,7 +1213,8 @@ class Mapping:
         if rung != self.uentry_rung:
             self.uentry_rung = rung
             self.usettings = self.base_settings._replace(
-                entry_cap=rung, max_tiles_per_gaussian=self._local_R)
+                entry_cap=rung, max_tiles_per_gaussian=self._local_R,
+                chunk=128)
 
     def _update_bucket(self):
         """Keep the render prefix ahead of the slot WATERMARK (renders slice

@@ -33,7 +33,8 @@ W, H = 1200, 680
 CAPACITY = 1 << 19
 BUCKET = 1 << 18
 UBUCKET = 1 << 17
-UENTRY = 1 << 20
+UENTRY = int(os.environ.get("PROF_UENTRY", 1 << 19))
+UCHUNK = int(os.environ.get("PROF_UCHUNK", 128))
 
 
 def main():
@@ -77,7 +78,7 @@ def main():
 
     cfg = default_config(capacity=CAPACITY, initial_bucket=BUCKET)
     settings = RenderSettings.from_args(W, H, cfg.map)
-    usettings = settings._replace(entry_cap=UENTRY)
+    usettings = settings._replace(entry_cap=UENTRY, chunk=UCHUNK)
     from dqo_map_tpu.ops import binning as bm
     TH, TW = bm.tile_grid_size(W, H, settings.tile_size)
 
