@@ -89,7 +89,10 @@ def main():
         # for re-tuning these
         initial_entry_rung=int(os.environ.get("BENCH_ENTRY_RUNG", 1 << 20)),
         initial_ubucket=int(os.environ.get("BENCH_UBUCKET", 1 << 17)),
-        initial_uentry_rung=int(os.environ.get("BENCH_UENTRY", 1 << 20)),
+        # chunk=128 local layout (r05): aligned unstable demand ~420k + the
+        # ladder's 131k add-headroom fits 655360 (chunk-divisible); the old
+        # 1M rung made the static pack gather/scatter 1.6x more expensive
+        initial_uentry_rung=int(os.environ.get("BENCH_UENTRY", 655360)),
         initial_gentry_rung=int(os.environ.get("BENCH_GENTRY", 589824)),
         initial_gbucket=int(os.environ.get("BENCH_GBUCKET", 1 << 18)),
         uniform_sample_num=samples, gaussian_update_frame=6,

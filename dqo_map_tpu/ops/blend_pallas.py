@@ -631,25 +631,30 @@ def pack_entries(pre, b, colors, opacities):
     model needs only mean_c's z (== depth) and ndm = normal_c . mean_c, so
     mean_c x/y are never shipped."""
     g = b.point_list
+    P = pre.xy.shape[0]
     xyT = pre.xy.T
     coT = pre.conic.T
     clT = colors.T
     mcT = pre.mean_c.T
     ncT = pre.normal_c.T
     ndm = (mcT[0] * ncT[0] + mcT[1] * ncT[1] + mcT[2] * ncT[2])
+    # the gid row rides the SAME gather as an arange table (gathered
+    # arange(P)[g] == g), so the pack is exactly ONE 16-row take with no
+    # post-concat — the r05 HLO audit showed the old 15-row take + concat
+    # materializing several (16, L) pad/add/copy trios per iteration
     rows = [
         xyT[0], xyT[1], coT[0], coT[1], coT[2], opacities,
         clT[0], clT[1], clT[2], pre.depth,
-        ncT[0], ncT[1], ncT[2], pre.scale_max, ndm,
+        ncT[0], ncT[1], ncT[2], pre.scale_max,
+        jnp.arange(P, dtype=jnp.float32), ndm,
     ]
-    stacked = jnp.stack(rows, axis=0)                     # (15, P)
-    feats15 = jnp.take(stacked, g, axis=1)                # (15, L)
+    stacked = jnp.stack(rows, axis=0)                     # (16, P)
+    feats = jnp.take(stacked, g, axis=1)                  # (16, L)
+    # invalid entries: opacity lane -> 0 (doubles as the validity lane);
+    # ONE fused select over the row via a row+validity mask product
+    rowsel = (jnp.arange(NF) == 5).astype(jnp.float32)[:, None]
     val = b.entry_valid.astype(jnp.float32)[None, :]
-    gid = g.astype(jnp.float32)[None, :]
-    op_masked = feats15[5:6] * val
-    return jnp.concatenate(
-        [feats15[:5], op_masked, feats15[6:14], gid, feats15[14:15]],
-        axis=0)
+    return feats * (1.0 - rowsel * (1.0 - val))
 
 
 def tile_map(x, tile_size: int, width: int, height: int):
