@@ -232,6 +232,9 @@ class TrackingParams:
     orb_settings_path: str = ""
     orb_useicp: bool = True
     orb_max_feats: int = 1000
+    orb_downsample: int = 1     # feature-tracking image subsample factor
+                                # (2 = track at half res; ~4x cheaper on the
+                                # host, keeps metric 3D geometry)
     orb_loop_closing: bool = True
     orb_loop_min_gap: int = 20
     orb_loop_min_inliers: int = 25

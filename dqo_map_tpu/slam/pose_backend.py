@@ -104,6 +104,13 @@ class PoseBackend:
         self._lib = _load_lib()
         self._handle = None
         self._max_feats = int(getattr(args, "orb_max_feats", 1000))
+        # feature-tracking image scale (1 = full res, 2 = half, ...): the
+        # C++ tracker's detection+descriptor+match cost scales ~linearly
+        # with pixels; on a 1-core host the full-res 1200x680 pass costs
+        # ~300 ms/frame, which becomes the frame floor once the device-side
+        # steady frame shrinks. Subsampling by 2 keeps ~4x cheaper feature
+        # geometry (depth lifts at the same 3D points; K scales).
+        self._scale = max(1, int(getattr(args, "orb_downsample", 1) or 1))
         self.use_icp = bool(getattr(args, "orb_useicp", True))
         self.use_loop_closing = bool(getattr(args, "orb_loop_closing", True))
         # instance-level overrides of the loop-detection knobs (class
@@ -130,6 +137,9 @@ class PoseBackend:
 
     def _frame_arrays(self, frame):
         img = np.asarray(frame.image)
+        s = self._scale
+        if s > 1:                      # subsample FIRST: grayscale is 4x
+            img = img[::s, ::s]        # cheaper on the quarter image
         if img.ndim == 3:
             gray = (0.299 * img[..., 0] + 0.587 * img[..., 1]
                     + 0.114 * img[..., 2])
@@ -139,7 +149,10 @@ class PoseBackend:
             gray = np.clip(gray * (255.0 if gray.max() <= 1.5 else 1.0),
                            0, 255).astype(np.uint8)
         gray = np.ascontiguousarray(gray)
-        depth = np.ascontiguousarray(np.asarray(frame.depth, np.float32))
+        depth = np.asarray(frame.depth, np.float32)
+        if s > 1:
+            depth = depth[::s, ::s]
+        depth = np.ascontiguousarray(depth)
         return gray, depth
 
     def ingest(self, frame, icp_pose10: np.ndarray = None) -> int:
@@ -148,7 +161,11 @@ class PoseBackend:
         keyframe matched, `self.abs_pose` (T_{world<-curr})."""
         gray, depth = self._frame_arrays(frame)
         H, W = gray.shape
-        self._ensure(W, H, np.asarray(frame.K))
+        K = np.asarray(frame.K, np.float64)
+        if self._scale > 1:            # intrinsics of the subsampled grid
+            K = K.copy() / self._scale
+            K[2, 2] = 1.0
+        self._ensure(W, H, K)
         rel = np.eye(4, dtype=np.float64).reshape(-1)
         abs_p = np.eye(4, dtype=np.float64).reshape(-1)
         kf_inl = ctypes.c_int(-1)
