@@ -1065,10 +1065,13 @@ class Mapping:
 
     # --------------------------------------------------------------
     def get_render_output(self, cam_inputs: dict) -> dict:
+        t0 = _now()
         out = self._render_global(self.state, cam_inputs, self.settings,
                                   self.bucket,
                                   bool(getattr(self.args, "use_prune", False)))
+        _pr("render/_render_global", t0, out["depth"])
         self.model_map = out
+        t0 = _now()
         self._dropped_dev = jnp.maximum(self._dropped_dev,
                                         out["dropped_entries"])
         self._tdropped_dev = jnp.maximum(self._tdropped_dev,
@@ -1079,6 +1082,7 @@ class Mapping:
                                         out["num_entries"])
         self._demand_dev = jnp.maximum(self._demand_dev,
                                        out["entry_demand"])
+        _pr("render/accumulators", t0, self._demand_dev)
         return out
 
     def dropped_entries(self) -> tuple:

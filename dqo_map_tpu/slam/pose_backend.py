@@ -59,6 +59,13 @@ def _load_lib():
                               ctypes.POINTER(ctypes.c_float),
                               dptr, dptr, dptr,
                               ctypes.POINTER(ctypes.c_int)]
+    lib.ob_ingest_frame.restype = ctypes.c_int
+    lib.ob_ingest_frame.argtypes = [ctypes.c_void_p,
+                                    ctypes.POINTER(ctypes.c_uint8),
+                                    ctypes.POINTER(ctypes.c_float)]
+    lib.ob_match_staged.restype = ctypes.c_int
+    lib.ob_match_staged.argtypes = [ctypes.c_void_p, dptr, dptr, dptr,
+                                    ctypes.POINTER(ctypes.c_int)]
     lib.ob_accept_pose.argtypes = [ctypes.c_void_p, dptr]
     lib.ob_num_keyframes.restype = ctypes.c_int
     lib.ob_num_keyframes.argtypes = [ctypes.c_void_p]
@@ -155,10 +162,12 @@ class PoseBackend:
         depth = np.ascontiguousarray(depth)
         return gray, depth
 
-    def ingest(self, frame, icp_pose10: np.ndarray = None) -> int:
-        """Feed one frame; returns feature-pose inlier count (<0 before the
-        second frame). Sets `self.rel` (T_{prev<-curr}) and, when a
-        keyframe matched, `self.abs_pose` (T_{world<-curr})."""
+    def detect(self, frame) -> int:
+        """DETECT phase only (pyramid + corners + descriptors + depth lift
+        — ~80% of the per-frame host cost, needs NO pose). Call it while
+        the device is still computing the ICP pose: the ctypes call
+        releases the GIL and the native work overlaps the device queue.
+        `ingest`/`track` on the same frame then only run the match phase."""
         gray, depth = self._frame_arrays(frame)
         H, W = gray.shape
         K = np.asarray(frame.K, np.float64)
@@ -166,16 +175,28 @@ class PoseBackend:
             K = K.copy() / self._scale
             K[2, 2] = 1.0
         self._ensure(W, H, K)
+        n = self._lib.ob_ingest_frame(
+            self._handle,
+            gray.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        self._staged = frame
+        return n
+
+    def ingest(self, frame, icp_pose10: np.ndarray = None) -> int:
+        """Feed one frame; returns feature-pose inlier count (<0 before the
+        second frame). Sets `self.rel` (T_{prev<-curr}) and, when a
+        keyframe matched, `self.abs_pose` (T_{world<-curr})."""
+        if getattr(self, "_staged", None) is not frame:
+            self.detect(frame)
+        self._staged = None
         rel = np.eye(4, dtype=np.float64).reshape(-1)
         abs_p = np.eye(4, dtype=np.float64).reshape(-1)
         kf_inl = ctypes.c_int(-1)
         dptr = ctypes.POINTER(ctypes.c_double)
         prior = (np.ascontiguousarray(icp_pose10, np.float64).reshape(-1)
                  if icp_pose10 is not None else None)
-        n = self._lib.ob_track2(
+        n = self._lib.ob_match_staged(
             self._handle,
-            gray.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             prior.ctypes.data_as(dptr) if prior is not None else None,
             rel.ctypes.data_as(dptr), abs_p.ctypes.data_as(dptr),
             ctypes.byref(kf_inl))

@@ -297,10 +297,21 @@ class Tracker:
                 frame_map["normal_map_w"] = im.rotate_map(
                     frame_map["normal_map_c"], c2w)
                 return True
+            from .mapper import _now, _pr
+            if self.pose_backend is not None:
+                # run the feature DETECT phase before reading the ICP pose
+                # back: the native detection (~80% of the backend's host
+                # cost) overlaps the device queue that is still computing
+                # the ICP result (ctypes releases the GIL)
+                t0 = _now()
+                self.pose_backend.detect(frame)
+                _pr("tracker/feature_detect", t0)
             # ONE host transfer for pose + p2p (each readback is a network
             # roundtrip when the TPU sits behind a tunnel)
+            t0 = _now()
             pose10, p2p, valid_ratio = jax.device_get(
                 (pose10, p2p, valid_ratio))
+            _pr("tracker/pose_sync", t0)
             pose10 = np.asarray(pose10, np.float64)
             success = bool(p2p <= self.icp_cfg.fail_threshold
                            and valid_ratio >= self.icp_cfg.min_valid_ratio)
@@ -310,8 +321,10 @@ class Tracker:
             if self.pose_backend is not None:
                 # fusion incl. ICP-failure fallback to feature-only tracking
                 # (ref tracker.py:265-283)
+                t0 = _now()
                 pose_t1_w = self.pose_backend.track(
                     frame, pose10, success)
+                _pr("tracker/feature_backend", t0)
             else:
                 pose_t1_w = np.asarray(
                     jax.device_get(self.pose_es[-1])) @ pose10

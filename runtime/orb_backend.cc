@@ -740,14 +740,38 @@ struct Tracker {
     return ransac_align(src, dst, abs_out);  // cam pts -> world pts
   }
 
-  int track2(const uint8_t *gray, const float *depth, const double *prior_rel,
-             double *rel_out, double *abs_out, int *kf_inliers) {
-    Frame cur;
+  // DETECT phase only (pyramid + corners + descriptors + depth lift) — the
+  // ~80% host-cost part that needs NO pose prior. Staging it lets the
+  // Python tracker run detection while the device queue drains the ICP
+  // result, then finish with `match_staged` once the prior is ready
+  // (ctypes releases the GIL around this call, so it also overlaps any
+  // host-side dispatch work).
+  Frame staged;
+  bool has_staged = false;
+
+  int ingest_frame(const uint8_t *gray, const float *depth) {
     Pyramid pyr;
     pyr.build(gray, W, H);
-    detect_pyramid(pyr, max_feats, 12, cur.kps);
-    describe(pyr, cur.kps, cur.desc);
-    lift(depth, cur.kps);
+    staged = Frame();
+    detect_pyramid(pyr, max_feats, 12, staged.kps);
+    describe(pyr, staged.kps, staged.desc);
+    lift(depth, staged.kps);
+    has_staged = true;
+    return (int)staged.kps.size();
+  }
+
+  int track2(const uint8_t *gray, const float *depth, const double *prior_rel,
+             double *rel_out, double *abs_out, int *kf_inliers) {
+    ingest_frame(gray, depth);
+    return match_staged(prior_rel, rel_out, abs_out, kf_inliers);
+  }
+
+  // MATCH phase over the staged detection (frame-to-frame + keyframe
+  // alignment + bookkeeping — the original track2 tail)
+  int match_staged(const double *prior_rel, double *rel_out, double *abs_out,
+                   int *kf_inliers) {
+    Frame cur = std::move(staged);
+    has_staged = false;
     *kf_inliers = -1;
     int n_inl = -1;
 
@@ -1206,6 +1230,23 @@ int ob_track2(void *h, const uint8_t *gray, const float *depth,
   }
   return static_cast<Tracker *>(h)->track2(gray, depth, prior_rel, rel_out,
                                            abs_out, kf_inliers);
+}
+
+// split-phase API: detection (no prior needed; overlap with device work) +
+// matching over the staged detection
+int ob_ingest_frame(void *h, const uint8_t *gray, const float *depth) {
+  return static_cast<Tracker *>(h)->ingest_frame(gray, depth);
+}
+
+int ob_match_staged(void *h, const double *prior_rel, double *rel_out,
+                    double *abs_out, int *kf_inliers) {
+  for (int i = 0; i < 16; ++i) {
+    rel_out[i] = (i % 5 == 0) ? 1.0 : 0.0;
+    abs_out[i] = (i % 5 == 0) ? 1.0 : 0.0;
+  }
+  Tracker *t = static_cast<Tracker *>(h);
+  if (!t->has_staged) return -1;
+  return t->match_staged(prior_rel, rel_out, abs_out, kf_inliers);
 }
 
 void ob_accept_pose(void *h, const double *pose_w16) {
