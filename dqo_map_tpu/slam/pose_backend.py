@@ -103,6 +103,8 @@ class PoseBackend:
     # after a tracking loss ("hold") the gate opens (true relocalization)
     KF_GATE_TRANS = 0.30         # meters
     KF_GATE_ROT = 20.0           # degrees
+    KF_GAIN = 0.35               # fraction of the keyframe correction
+                                 # applied per anchored frame (see track())
     LOOP_MIN_GAP = 20            # keyframes between query and candidate
     LOOP_MIN_INLIERS = 25
     LOOP_EVERY = 5               # detection cadence (frames)
@@ -207,6 +209,27 @@ class PoseBackend:
         return n
 
     @staticmethod
+    def _nudge(a: np.ndarray, b: np.ndarray, g: float) -> np.ndarray:
+        """Pose interpolation a -> b by fraction g (lerp translation,
+        slerp-equivalent rotation via the matrix log of the relative
+        rotation, Rodrigues both ways)."""
+        out = a.copy()
+        out[:3, 3] = (1 - g) * a[:3, 3] + g * b[:3, 3]
+        R = a[:3, :3].T @ b[:3, :3]
+        c = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+        ang = np.arccos(c)
+        if ang > 1e-8:
+            axis = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                             R[1, 0] - R[0, 1]]) / (2.0 * np.sin(ang))
+            th = g * ang
+            Kx = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
+                           [-axis[1], axis[0], 0]])
+            Rg = (np.eye(3) + np.sin(th) * Kx
+                  + (1 - np.cos(th)) * (Kx @ Kx))
+            out[:3, :3] = a[:3, :3] @ Rg
+        return out
+
+    @staticmethod
     def _pose_gap(a: np.ndarray, b: np.ndarray):
         """(translation distance, rotation angle in degrees) between poses."""
         dt = float(np.linalg.norm(a[:3, 3] - b[:3, 3]))
@@ -228,7 +251,19 @@ class PoseBackend:
         if self.kf_inliers_last >= self.MIN_KF_INLIERS and (
                 est is None or self.source_last == "hold"
                 or self._kf_agrees(est)):
-            pose_w = self.abs_pose          # drift-free keyframe anchor
+            # drift-free keyframe anchor, applied as a LOW-GAIN correction:
+            # the feature alignment carries ~0.5-1 cm of matching noise per
+            # frame while the ICP/feature relative chain is mm-accurate
+            # locally — a hard override trades short-horizon precision for
+            # drift control (r05 bench: frame-29 ATE 0.55 -> 1.05 cm).
+            # Pulling only a fraction of the correction per frame keeps the
+            # chain's local precision and still zeroes drift exponentially
+            # (gain g halves the accumulated offset every ~1/g frames).
+            # After a tracking loss the gate opens fully (relocalization).
+            if est is None or self.source_last == "hold":
+                pose_w = self.abs_pose
+            else:
+                pose_w = self._nudge(est, self.abs_pose, self.KF_GAIN)
             self.source_last = "keyframe"
         elif n >= self.MIN_INLIERS:
             pose_w = last @ self.rel
