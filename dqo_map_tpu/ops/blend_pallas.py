@@ -70,8 +70,28 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+CUMSUM_MXU = os.environ.get("DQO_CUMSUM_MXU", "1") == "1"
+
+
+def _tri_ones(K):
+    """(K, K) lower-triangular-inclusive ones: x @ T = inclusive cumsum."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    return (r <= c).astype(jnp.float32)
+
+
 def _cumprod_lanes(x):
-    """Inclusive cumprod along axis 1 via a Hillis-Steele doubling scan."""
+    """Inclusive cumprod along axis 1.
+
+    MXU form (default): exp(cumsum(log x)) with the cumsum as ONE
+    lower-triangular matmul — 2 transcendental passes + 1 MXU op instead of
+    the Hillis-Steele doubling scan's log2(K) shifted concats+multiplies
+    (14 VPU passes at K=128). Callers feed x = 1-alpha in [0.01, 1], so
+    log is well-conditioned; exp/log round-trip error (~1e-6 relative) is
+    far below the blend's tolerance (alpha cutoffs at 1/255).
+    DQO_CUMSUM_MXU=0 restores the exact scan form."""
+    if CUMSUM_MXU:
+        return jnp.exp(_cumsum_lanes(jnp.log(x)))
     K = x.shape[1]
     s = 1
     while s < K:
@@ -84,8 +104,14 @@ def _cumprod_lanes(x):
 
 
 def _cumsum_lanes(x):
-    """Inclusive cumsum along axis 1 via a Hillis-Steele doubling scan."""
+    """Inclusive cumsum along axis 1 (one MXU triangular matmul by
+    default; see `_cumprod_lanes`)."""
     K = x.shape[1]
+    if CUMSUM_MXU:
+        return jax.lax.dot_general(
+            x, _tri_ones(K), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
     s = 1
     while s < K:
         shifted = jnp.concatenate(

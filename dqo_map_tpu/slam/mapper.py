@@ -1066,23 +1066,18 @@ class Mapping:
     # --------------------------------------------------------------
     def get_render_output(self, cam_inputs: dict) -> dict:
         t0 = _now()
-        out = self._render_global(self.state, cam_inputs, self.settings,
-                                  self.bucket,
-                                  bool(getattr(self.args, "use_prune", False)))
+        # the truncation-receipt accumulators ride INSIDE the jitted render
+        # (5 separate eager jnp.maximum programs cost ~5 tunnel dispatches
+        # per frame on the remote backend)
+        accums = (self._dropped_dev, self._tdropped_dev, self._clipped_dev,
+                  self._entries_dev, self._demand_dev)
+        out, accums = self._render_global(
+            self.state, cam_inputs, accums, self.settings, self.bucket,
+            bool(getattr(self.args, "use_prune", False)))
+        (self._dropped_dev, self._tdropped_dev, self._clipped_dev,
+         self._entries_dev, self._demand_dev) = accums
         _pr("render/_render_global", t0, out["depth"])
         self.model_map = out
-        t0 = _now()
-        self._dropped_dev = jnp.maximum(self._dropped_dev,
-                                        out["dropped_entries"])
-        self._tdropped_dev = jnp.maximum(self._tdropped_dev,
-                                         out["tile_dropped"])
-        self._clipped_dev = jnp.maximum(self._clipped_dev,
-                                        out["clipped_cells"])
-        self._entries_dev = jnp.maximum(self._entries_dev,
-                                        out["num_entries"])
-        self._demand_dev = jnp.maximum(self._demand_dev,
-                                       out["entry_demand"])
-        _pr("render/accumulators", t0, self._demand_dev)
         return out
 
     def dropped_entries(self) -> tuple:
@@ -1108,10 +1103,17 @@ class Mapping:
 
     @staticmethod
     @partial(jax.jit, static_argnames=("settings", "bucket", "with_n_touched"))
-    def _render_global(state, cam_inputs, settings, bucket,
+    def _render_global(state, cam_inputs, accums, settings, bucket,
                        with_n_touched=False):
-        return render_state(state, cam_inputs, settings, "global",
-                            bucket=bucket, with_n_touched=with_n_touched)
+        out = render_state(state, cam_inputs, settings, "global",
+                           bucket=bucket, with_n_touched=with_n_touched)
+        dropped, tdropped, clipped, entries, demand = accums
+        accums = (jnp.maximum(dropped, out["dropped_entries"]),
+                  jnp.maximum(tdropped, out["tile_dropped"]),
+                  jnp.maximum(clipped, out["clipped_cells"]),
+                  jnp.maximum(entries, out["num_entries"]),
+                  jnp.maximum(demand, out["entry_demand"]))
+        return out, accums
 
     @staticmethod
     @jax.jit
