@@ -103,8 +103,11 @@ class PoseBackend:
     # after a tracking loss ("hold") the gate opens (true relocalization)
     KF_GATE_TRANS = 0.30         # meters
     KF_GATE_ROT = 20.0           # degrees
-    KF_GAIN = 0.35               # fraction of the keyframe correction
-                                 # applied per anchored frame (see track())
+    KF_GAIN = 0.6                # fraction of the keyframe correction
+                                 # applied per anchored frame (see track();
+                                 # host-only noise sweep: rmse minimized at
+                                 # ~0.6 — full override 1.0 injects match
+                                 # noise, 0.2 under-corrects drift)
     LOOP_MIN_GAP = 20            # keyframes between query and candidate
     LOOP_MIN_INLIERS = 25
     LOOP_EVERY = 5               # detection cadence (frames)
@@ -120,6 +123,7 @@ class PoseBackend:
         # steady frame shrinks. Subsampling by 2 keeps ~4x cheaper feature
         # geometry (depth lifts at the same 3D points; K scales).
         self._scale = max(1, int(getattr(args, "orb_downsample", 1) or 1))
+        self.KF_GAIN = float(getattr(args, "orb_kf_gain", self.KF_GAIN))
         self.use_icp = bool(getattr(args, "orb_useicp", True))
         self.use_loop_closing = bool(getattr(args, "orb_loop_closing", True))
         # instance-level overrides of the loop-detection knobs (class
