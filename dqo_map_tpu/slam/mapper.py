@@ -1384,7 +1384,8 @@ class Mapping:
         t0 = _now()
         entries = []
         from .renderer import coverage_mask_state
-        for cam, fm in self.processed_frames:
+        for fi, (cam, fm) in enumerate(self.processed_frames):
+            ti = _now()
             # sort-free projection coverage mask of the unstable subset per
             # memory frame — replaces a full unstable-subset render (binning
             # sort included) per frame (ref evaluate_render_range's
@@ -1403,6 +1404,7 @@ class Mapping:
                 "semantics_color": fm.get("semantics"),
                 "instance_img": fm.get("instance_img"),
             })
+            _pr(f"local/range_{fi}", ti, tm)
         _pr("local/range_renders", t0, [e["tile_mask"] for e in entries])
         t0 = _now()
         n_real = len(entries)
