@@ -82,11 +82,14 @@ def main():
         # Parity of OUTCOME with the reference (which doesn't drift) beats
         # parity of its synthetic-config flag. BENCH_ORB=0 disables.
         use_orb_backend=os.environ.get("BENCH_ORB", "1") == "1",
-        # half-res feature tracking: the C++ detect costs ~34 ms at half vs
-        # ~135 at full on this 1-core host, and the host pass contends with
-        # the tunnel client threads (in-system it ballooned to 300-400 ms)
-        orb_downsample=int(os.environ.get("BENCH_ORB_DS", 2)),
-        orb_kf_gain=float(os.environ.get("BENCH_KF_GAIN", 0.6)),
+        # full-res feature tracking + hard keyframe override: the 60-frame
+        # A/B series (r05) measured ATE 1.42 cm (full-res, gain 0.35),
+        # 1.96 (half-res, gain 0.6) vs r04's 1.08 with full-res hard
+        # override — the toy gain sweep did not transfer (real keyframe
+        # anchors are BA-refined and ~mm-accurate, so damping them only
+        # preserves drift). Knobs stay for noisy-sensor tuning.
+        orb_downsample=int(os.environ.get("BENCH_ORB_DS", 1)),
+        orb_kf_gain=float(os.environ.get("BENCH_KF_GAIN", 1.0)),
         local_opt_mode=os.environ.get("BENCH_LOCAL_MODE", "bg"),
         capacity=1 << 19, add_capacity=16384, initial_bucket=bucket,
         # ladder plateaus for this workload — pinned so no rung moves (=

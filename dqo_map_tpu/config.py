@@ -235,8 +235,10 @@ class TrackingParams:
     orb_downsample: int = 1     # feature-tracking image subsample factor
                                 # (2 = track at half res; ~4x cheaper on the
                                 # host, keeps metric 3D geometry)
-    orb_kf_gain: float = 0.6    # keyframe-anchor correction gain per frame
-                                # (1.0 = hard override; see pose_backend)
+    orb_kf_gain: float = 1.0    # keyframe-anchor correction gain per
+                                # frame (1.0 = hard override — 60f A/B:
+                                # damped gains preserved drift; keep <1
+                                # only for noisy-anchor regimes)
     orb_loop_closing: bool = True
     orb_loop_min_gap: int = 20
     orb_loop_min_inliers: int = 25

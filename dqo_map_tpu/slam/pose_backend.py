@@ -103,11 +103,13 @@ class PoseBackend:
     # after a tracking loss ("hold") the gate opens (true relocalization)
     KF_GATE_TRANS = 0.30         # meters
     KF_GATE_ROT = 20.0           # degrees
-    KF_GAIN = 0.6                # fraction of the keyframe correction
-                                 # applied per anchored frame (see track();
-                                 # host-only noise sweep: rmse minimized at
-                                 # ~0.6 — full override 1.0 injects match
-                                 # noise, 0.2 under-corrects drift)
+    KF_GAIN = 1.0                # fraction of the keyframe correction
+                                 # applied per anchored frame. 1.0 = hard
+                                 # override (r04 behavior): the 60-frame
+                                 # A/B measured ATE 1.08/1.42/1.96 cm at
+                                 # gain 1.0/0.35/0.6+halfres — the BA-
+                                 # refined anchors are accurate enough
+                                 # that damping them only preserves drift
     LOOP_MIN_GAP = 20            # keyframes between query and candidate
     LOOP_MIN_INLIERS = 25
     LOOP_EVERY = 5               # detection cadence (frames)
