@@ -27,7 +27,11 @@ compiles; the persistent compilation cache makes re-runs warm up in
 seconds).
 
 Env knobs: BENCH_FRAMES, BENCH_W, BENCH_H, BENCH_WARMUP, BENCH_SAMPLES,
-BENCH_BUCKET, BENCH_SPIKE_MS, BENCH_PROFILE_FRAMES.
+BENCH_BUCKET, BENCH_SPIKE_MS, BENCH_PROFILE_FRAMES; feature backend:
+BENCH_ORB (default 1), BENCH_ORB_DS (image subsample), BENCH_KF_GAIN;
+A/B switches: BENCH_ICP_MODEL (frame-to-model ICP reference),
+BENCH_LOCAL_MODE (bg | global exact path); ladder pins: BENCH_ENTRY_RUNG,
+BENCH_UBUCKET, BENCH_UENTRY, BENCH_GENTRY, BENCH_GBUCKET.
 """
 
 import json
