@@ -926,7 +926,11 @@ def _pr(tag, t0, out=None):
     import time as _t
     if out is not None:
         leaf = jax.tree.leaves(out)[0]
-        np.asarray(leaf.ravel()[:1] if leaf.ndim else leaf)
+        # small leaves transfer directly — the ravel-slice path compiles a
+        # tiny program ONCE PER SHAPE (~0.9 s through the tunnel), which
+        # polluted first-occurrence probe samples (r05: `local/range_0`)
+        np.asarray(leaf if (leaf.ndim == 0 or leaf.size <= 65536)
+                   else leaf.ravel()[:1])
     ms = (_t.perf_counter() - t0) * 1000
     _STAGES.setdefault(tag, []).append(ms)
     print(f"#   {tag}: {ms:.1f} ms", file=sys.stderr)
